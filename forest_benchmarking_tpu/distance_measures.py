@@ -1,0 +1,277 @@
+"""Distances and other properties of quantum states and processes, batched.
+
+Reference parity: forest/benchmarking/distance_measures.py (purity:14, impurity:39,
+fidelity:64, infidelity:87, trace_distance:100, bures_distance:117, bures_angle:134,
+quantum_chernoff_bound:153, hilbert_schmidt_ip:198, smith_fidelity:219,
+total_variation_distance:243, entanglement_fidelity:271, process_fidelity:315,
+process_infidelity:362, diamond_norm_distance:378, watrous_bounds:440).
+
+TPU-first design:
+  - All state/process measures accept arbitrary leading batch dims and return
+    real arrays (no host sync, no ``.item()``).
+  - ``trace_distance`` uses the Schatten-1 norm (0.5 * sum |eig|), the textbook
+    definition. NOTE: the reference (distance_measures.py:114) uses
+    ``np.linalg.norm(rho - sigma, 1)`` which is the *induced* 1-norm (max column
+    sum) — a known quirk; e.g. for orthogonal pure states the reference returns
+    0.5 where the trace distance is 1. We implement the correct quantity.
+  - ``quantum_chernoff_bound`` replaces scipy's bounded scalar minimizer with a
+    fixed-iteration golden-section search over a precomputed eigen-overlap
+    matrix: jit/vmap-safe with static shapes.
+  - ``diamond_norm_distance`` replaces the cvxpy SDP (Watrous [CBN]) with a
+    first-order solver: the inner maximization over 0 <= W <= I (x) rho is done
+    in closed form (positive part of a congruence of the Choi difference), and
+    the outer concave maximization over rho is done by Adam ascent on an
+    unconstrained square-root factor. Fully jittable and batched.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from forest_benchmarking_tpu.ops.calculational import dag, hermitianize, sqrtm_psd
+
+__all__ = [
+    "purity", "impurity", "fidelity", "infidelity", "trace_distance",
+    "bures_distance", "bures_angle", "quantum_chernoff_bound",
+    "hilbert_schmidt_ip", "smith_fidelity", "total_variation_distance",
+    "entanglement_fidelity", "process_fidelity", "process_infidelity",
+    "diamond_norm_distance", "watrous_bounds",
+]
+
+
+def purity(rho: jnp.ndarray, dim_renorm: bool = False) -> jnp.ndarray:
+    """Purity tr[rho^2]; optionally renormalized from [1/dim, 1] to [0, 1]."""
+    rho = jnp.asarray(rho)
+    p = jnp.real(jnp.einsum("...ij,...ji->...", rho, rho))
+    if dim_renorm:
+        dim = rho.shape[-1]
+        p = (dim / (dim - 1.0)) * (p - 1.0 / dim)
+    return p
+
+
+def impurity(rho: jnp.ndarray, dim_renorm: bool = False) -> jnp.ndarray:
+    """Impurity (linear entropy) 1 - tr[rho^2]."""
+    rho = jnp.asarray(rho)
+    imp = 1 - jnp.real(jnp.einsum("...ij,...ji->...", rho, rho))
+    if dim_renorm:
+        dim = rho.shape[-1]
+        imp = (dim / (dim - 1.0)) * imp
+    return imp
+
+
+def fidelity(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Uhlmann fidelity F(rho, sigma) = (tr sqrt(sqrt(rho) sigma sqrt(rho)))^2."""
+    sqrt_rho = sqrtm_psd(rho)
+    inner = sqrtm_psd(sqrt_rho @ sigma @ sqrt_rho)
+    return jnp.real(jnp.trace(inner, axis1=-2, axis2=-1)) ** 2
+
+
+def infidelity(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """1 - F(rho, sigma)."""
+    return 1 - fidelity(rho, sigma)
+
+
+def trace_distance(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """T(rho, sigma) = 0.5 ||rho - sigma||_1 (Schatten-1 / nuclear norm).
+
+    See the module docstring for the deviation from the reference's induced norm.
+    """
+    evals = jnp.linalg.eigvalsh(hermitianize(jnp.asarray(rho) - jnp.asarray(sigma)))
+    return 0.5 * jnp.sum(jnp.abs(evals), axis=-1)
+
+
+def bures_distance(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """D_B with D_B^2 = 2 (1 - sqrt(F))."""
+    return jnp.sqrt(2 * (1 - jnp.sqrt(fidelity(rho, sigma))))
+
+
+def bures_angle(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """D_A = arccos(sqrt(F))."""
+    return jnp.arccos(jnp.sqrt(fidelity(rho, sigma)))
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def quantum_chernoff_bound(rho: jnp.ndarray, sigma: jnp.ndarray,
+                           num_iters: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r"""Non-logarithmic quantum Chernoff bound min_s tr(rho^s sigma^(1-s)) [QCB].
+
+    With eigendecompositions rho = U diag(a) U^dag, sigma = V diag(b) V^dag the
+    objective is ``sum_ij a_i^s b_j^(1-s) |U^dag V|^2_ij``; we minimize it on
+    s in [0, 1] with a fixed-iteration golden-section search.
+
+    :return: (qcb, s_opt) per batch element.
+    """
+    a, u = jnp.linalg.eigh(rho)
+    b, v = jnp.linalg.eigh(sigma)
+    overlap = jnp.abs(dag(u) @ v) ** 2  # (..., d, d)
+    eps = jnp.finfo(overlap.dtype).tiny
+    a = jnp.maximum(jnp.real(a), eps)
+    b = jnp.maximum(jnp.real(b), eps)
+
+    def f(s):
+        term = (a[..., :, None] ** s[..., None, None]) * \
+               (b[..., None, :] ** (1 - s[..., None, None]))
+        return jnp.sum(term * overlap, axis=(-2, -1))
+
+    invphi = (np.sqrt(5) - 1) / 2
+    batch = overlap.shape[:-2]
+    lo = jnp.zeros(batch)
+    hi = jnp.ones(batch)
+
+    def body(_, carry):
+        lo, hi = carry
+        x1 = hi - invphi * (hi - lo)
+        x2 = lo + invphi * (hi - lo)
+        f1, f2 = f(x1), f(x2)
+        go_left = f1 < f2
+        return jnp.where(go_left, lo, x1), jnp.where(go_left, x2, hi)
+
+    lo, hi = lax.fori_loop(0, num_iters, body, (lo, hi))
+    s_opt = (lo + hi) / 2
+    return f(s_opt), s_opt
+
+
+def hilbert_schmidt_ip(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hilbert-Schmidt inner product Tr[A^dag B] (real part returned)."""
+    return jnp.real(jnp.einsum("...ij,...ij->...", jnp.conj(a), b))
+
+
+def smith_fidelity(rho: jnp.ndarray, sigma: jnp.ndarray, power: float) -> jnp.ndarray:
+    """Smith fidelity sqrt(F)^power, for 0 <= power < 2."""
+    if power < 0:
+        raise ValueError("Power must be positive")
+    if power >= 2:
+        raise ValueError("Power must be less than 2")
+    return jnp.sqrt(fidelity(rho, sigma)) ** power
+
+
+def total_variation_distance(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """TVD between two (batched) probability vectors over the last axis."""
+    p = jnp.asarray(p)
+    q = jnp.asarray(q)
+    if p.shape[-1] == 1 and p.ndim >= 2:  # accept reference-style (d, 1) columns
+        p, q = p[..., 0], q[..., 0]
+    return 0.5 * jnp.sum(jnp.abs(p - q), axis=-1)
+
+
+# ============================================================================
+# Processes
+# ============================================================================
+
+def entanglement_fidelity(pauli_lio0: jnp.ndarray, pauli_lio1: jnp.ndarray) -> jnp.ndarray:
+    """F_e(E, F) = Tr[E^dag F] / dim^2 for Pauli-Liouville matrices [H**3][GFID]."""
+    pauli_lio0 = jnp.asarray(pauli_lio0)
+    dim_squared = pauli_lio0.shape[-1]
+    return jnp.real(jnp.einsum("...ij,...ij->...", jnp.conj(pauli_lio0),
+                               jnp.asarray(pauli_lio1))) / dim_squared
+
+
+def process_fidelity(pauli_lio0: jnp.ndarray, pauli_lio1: jnp.ndarray) -> jnp.ndarray:
+    """F_process = (dim F_e + 1) / (dim + 1) (a.k.a. average gate fidelity)."""
+    dim = int(np.sqrt(jnp.asarray(pauli_lio0).shape[-1]))
+    fe = entanglement_fidelity(pauli_lio0, pauli_lio1)
+    return (dim * fe + 1) / (dim + 1)
+
+
+def process_infidelity(pauli_lio0: jnp.ndarray, pauli_lio1: jnp.ndarray) -> jnp.ndarray:
+    """1 - F_process."""
+    return 1 - process_fidelity(pauli_lio0, pauli_lio1)
+
+
+def _dnorm_objective(a: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+    """f(rho(A)) = sum of positive eigenvalues of (I (x) S)^dag J (I (x) S).
+
+    S = A / ||A||_F so that rho = S S^dag is PSD with unit trace. The spectrum
+    equals that of J (I (x) rho), so any square-root factor works; gradients flow
+    only through eigenvalues (dlam_i = v_i^dag dM v_i), never eigenvector gaps.
+    """
+    d = a.shape[-1]
+    s = a / jnp.sqrt(jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1), keepdims=True))
+    eye = jnp.eye(d, dtype=a.dtype)
+    lift = jnp.einsum("ij,...kl->...ikjl", eye, s).reshape(*a.shape[:-2], d * d, d * d)
+    m = dag(lift) @ j @ lift
+    evals = jnp.linalg.eigvalsh(hermitianize(m))
+    return jnp.sum(jax.nn.relu(evals), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("num_iters", "num_restarts"))
+def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
+                          num_iters: int = 400, num_restarts: int = 4,
+                          seed: int = 7) -> jnp.ndarray:
+    r"""Diamond-norm distance between two CPTP maps given as Choi matrices.
+
+    Solves the Watrous SDP [CBN] (the same program as the reference's cvxpy code,
+    distance_measures.py:399-433):
+
+        max 2 Re tr(J^dag W)  s.t.  0 <= W <= I (x) rho,  rho a density matrix
+
+    For fixed rho, the inner maximum is the positive part of
+    ``(I (x) sqrt(rho))^dag J (I (x) sqrt(rho))``, so we ascend the concave outer
+    objective over rho with Adam on an unconstrained square-root factor, with
+    multiple deterministic restarts, and keep the best value.
+
+    Accuracy: ~1e-4 relative on 1Q/2Q channels with the defaults (see tests).
+
+    :return: per-batch-element diamond norm distance (real array).
+    """
+    choi0 = jnp.asarray(choi0)
+    choi1 = jnp.asarray(choi1)
+    j = hermitianize(choi0 - choi1)
+    d = int(np.sqrt(j.shape[-1]))
+    batch = j.shape[:-2]
+    cdtype = j.dtype
+    rdtype = jnp.real(j).dtype
+
+    # deterministic restart inits: identity factor plus pseudo-random factors,
+    # optimized as stacked real/imag parts (unambiguous real-valued autodiff)
+    key = jax.random.PRNGKey(seed)
+    rand = jax.random.normal(key, (num_restarts - 1, 2, *batch, d, d), dtype=rdtype)
+    eye0 = jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(d, dtype=rdtype), (*batch, d, d))[None],
+        jnp.zeros((1, *batch, d, d), dtype=rdtype)], axis=0)[None]  # (1,2,...,d,d)
+    x0 = jnp.concatenate([eye0, rand], axis=0)  # (R, 2, ..., d, d)
+
+    jb = jnp.broadcast_to(j, (num_restarts, *batch, d * d, d * d))
+
+    def value(x):
+        a = (x[:, 0] + 1j * x[:, 1]).astype(cdtype)
+        return jnp.sum(_dnorm_objective(a, jb))
+
+    grad_fn = jax.grad(value)
+
+    lr0 = 0.1
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def body(i, carry):
+        x, m, v = carry
+        g = grad_fn(x)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g ** 2
+        mhat = m / (1 - b1 ** (i + 1))
+        vhat = v / (1 - b2 ** (i + 1))
+        lr = lr0 * (0.5 ** (i / (num_iters / 4)))
+        x = x + lr * mhat / (jnp.sqrt(vhat) + eps)  # ascent
+        return x, m, v
+
+    x, _, _ = lax.fori_loop(0, num_iters, body, (x0, jnp.zeros_like(x0),
+                                                 jnp.zeros_like(x0)))
+    a = (x[:, 0] + 1j * x[:, 1]).astype(cdtype)
+    vals = _dnorm_objective(a, jb)  # (R, ...)
+    return 2 * jnp.max(vals, axis=0)
+
+
+def watrous_bounds(choi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(lower, upper) Watrous bounds on the diamond norm from the nuclear norm.
+
+    ``nuclear <= dnorm <= dim * nuclear`` where nuclear = sum of singular values
+    of the (batched) Choi matrix.
+    """
+    choi = jnp.asarray(choi)
+    s = jnp.linalg.svd(choi, compute_uv=False)
+    nuclear = jnp.sum(s, axis=-1)
+    return nuclear, choi.shape[-2] * nuclear

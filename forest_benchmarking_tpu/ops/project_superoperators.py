@@ -1,0 +1,153 @@
+"""Projections of Choi matrices onto CP / TNI / TP / physical (CPTP) sets.
+
+Reference parity: forest/benchmarking/operator_tools/project_superoperators.py
+(proj_choi_to_completely_positive:19, proj_choi_to_trace_non_increasing:37,
+proj_choi_to_trace_preserving:62, proj_choi_to_physical:87 [Dykstra with the
+Birgin-Raydan stopping criterion], proj_choi_to_unitary:147).
+
+TPU-first design: all projections are batched over leading dims. Dykstra's
+alternating projection runs as a ``lax.while_loop`` whose carry is the full
+batch; under vmap, JAX masks converged problems so each batch element follows
+exactly the reference's per-problem stopping criterion while the compiled loop
+runs until the whole batch converges (no host round-trips).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from forest_benchmarking_tpu.ops.calculational import dag, hermitianize, kron, partial_trace
+from forest_benchmarking_tpu.ops.superoperator_transformations import kraus2choi, unvec
+
+__all__ = [
+    "proj_choi_to_completely_positive",
+    "proj_choi_to_trace_non_increasing",
+    "proj_choi_to_trace_preserving",
+    "proj_choi_to_physical",
+    "proj_choi_to_unitary",
+]
+
+
+def proj_choi_to_completely_positive(choi: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the nearest completely positive map (eq. 8 of [PGD]).
+
+    Hermitize, then clip negative eigenvalues to zero.
+    """
+    evals, v = jnp.linalg.eigh(hermitianize(choi))
+    evals = jnp.maximum(evals, 0)
+    return (v * evals[..., None, :].astype(v.dtype)) @ dag(v)
+
+
+def proj_choi_to_trace_non_increasing(choi: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the set of trace non-increasing maps (eq. 33 of [PGD])."""
+    choi = jnp.asarray(choi)
+    dim = int(np.sqrt(choi.shape[-1]))
+    pt = partial_trace(choi, keep=[0], dims=[dim, dim])
+    d_, v = jnp.linalg.eigh(hermitianize(pt))
+    d_ = jnp.minimum(d_, 1)
+    projection = (v * d_[..., None, :].astype(v.dtype)) @ dag(v)
+    eye = jnp.eye(dim, dtype=choi.dtype)
+    trace_increasing_part = kron((pt - projection) / dim, eye)
+    return choi - trace_increasing_part
+
+
+def proj_choi_to_trace_preserving(choi: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the closest trace-preserving map (eq. 12 of [PGD]).
+
+    Subtract the lift of the partial-trace violation ``Tr_out(choi) - I``.
+    """
+    choi = jnp.asarray(choi)
+    dim = int(np.sqrt(choi.shape[-1]))
+    pt = partial_trace(choi, keep=[0], dims=[dim, dim])
+    eye = jnp.eye(dim, dtype=choi.dtype)
+    diff = pt - eye
+    return choi - kron(diff / dim, eye)
+
+
+def _fro2(x: jnp.ndarray) -> jnp.ndarray:
+    """Squared Frobenius norm over trailing two axes (real scalar per batch elem)."""
+    return jnp.sum(jnp.abs(x) ** 2, axis=(-2, -1))
+
+
+def _absdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """|<<a|b>>| = |sum conj(a) * b| over trailing two axes."""
+    return jnp.abs(jnp.sum(jnp.conj(a) * b, axis=(-2, -1)))
+
+
+@partial(jax.jit, static_argnames=("make_trace_preserving", "max_iters"))
+def proj_choi_to_physical(choi: jnp.ndarray, make_trace_preserving: bool = True,
+                          tol: float = 1e-4, max_iters: int = 1000) -> jnp.ndarray:
+    """Dykstra's alternating projection onto CP intersect {TP or TNI}.
+
+    Stopping criterion of Birgin & Raydan (see reference :112-135): stop when
+
+        ||dCP_k - dCP_{k-1}||_F^2 + ||dTP_k - dTP_{k-1}||_F^2
+        + 2 |<dTP_{k-1}, state_k - state_{k-1}>|
+        + 2 |<dCP_{k-1}, CP_k - CP_{k-1}>|  <  tol
+
+    evaluated per batch element. ``max_iters`` is a safety bound absent from the
+    reference; at float64 and tol=1e-4 Dykstra converges in tens of iterations.
+    """
+    choi = jnp.asarray(choi)
+    proj_tp = (proj_choi_to_trace_preserving if make_trace_preserving
+               else proj_choi_to_trace_non_increasing)
+
+    zeros = jnp.zeros_like(choi)
+
+    def cond(carry):
+        (_, _, _, _, done, it) = carry
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < max_iters)
+
+    def body(carry):
+        old_cp_change, old_tp_change, last_cp_proj, last_state, done, it = carry
+        pre_cp = last_state - old_cp_change
+        cp_proj = proj_choi_to_completely_positive(pre_cp)
+        new_cp_change = cp_proj - pre_cp
+
+        pre_tp = cp_proj - old_tp_change
+        new_state = proj_tp(pre_tp)
+        new_tp_change = new_state - pre_tp
+
+        crit = (_fro2(new_cp_change - old_cp_change)
+                + _fro2(new_tp_change - old_tp_change)
+                + 2 * _absdot(old_tp_change, new_state - last_state)
+                + 2 * _absdot(old_cp_change, cp_proj - last_cp_proj))
+        newly_done = crit < tol
+
+        # converged problems freeze their state (per-element masking)
+        keep = done[..., None, None]
+        out_state = jnp.where(keep, last_state, new_state)
+        out_cp_change = jnp.where(keep, old_cp_change, new_cp_change)
+        out_tp_change = jnp.where(keep, old_tp_change, new_tp_change)
+        out_cp_proj = jnp.where(keep, last_cp_proj, cp_proj)
+        return (out_cp_change, out_tp_change, out_cp_proj, out_state,
+                jnp.logical_or(done, newly_done), it + 1)
+
+    done0 = jnp.zeros(choi.shape[:-2], dtype=bool)
+    carry = (zeros, zeros, zeros, choi, done0, jnp.asarray(0))
+    (_, _, _, state, _, _) = lax.while_loop(cond, body, carry)
+    return state
+
+
+def proj_choi_to_unitary(choi: jnp.ndarray) -> jnp.ndarray:
+    """Closest unitary channel to the given (batched) Choi matrix [IntQC].
+
+    Take the dominant eigenvector as the largest-norm Kraus operator, polar-project
+    it to a unitary via SVD, fix the global phase by the first element, and return
+    the Choi matrix of that unitary.
+    """
+    choi = jnp.asarray(choi)
+    dim = int(np.sqrt(choi.shape[-1]))
+    vals, vs = jnp.linalg.eigh(hermitianize(choi))
+    # eigh returns ascending order: the dominant eigenvector is the last column
+    large_vec = vs[..., :, -1]
+    kraus = unvec(large_vec)
+    u, _, vt = jnp.linalg.svd(kraus)
+    unitary = u @ vt
+    phase = jnp.angle(unitary[..., 0, 0])
+    unitary = jnp.exp(-1j * phase)[..., None, None].astype(unitary.dtype) * unitary
+    return kraus2choi(unitary[..., None, :, :])
