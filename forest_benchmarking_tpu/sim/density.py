@@ -1,0 +1,107 @@
+"""Density-matrix simulation with Kraus-channel noise and readout confusion.
+
+This is the noisy backend replacing the reference's QVM noise model path
+(PRAGMA ADD-KRAUS / PRAGMA READOUT-POVM inheritance,
+observable_estimation.py:945-951; define_noisy_gate in tests).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from forest_benchmarking_tpu.circuits import Circuit, Gate
+
+__all__ = ["run_density_matrix", "density_probabilities", "apply_confusion",
+           "apply_gate_to_density", "apply_kraus_to_density"]
+
+
+def _lift(mat: jnp.ndarray, axes: Sequence[int], n: int) -> jnp.ndarray:
+    """Lift a k-qubit matrix to the full 2**n space given tensor axis positions."""
+    k = len(axes)
+    d = 2 ** n
+    # build permutation placing `axes` first
+    rest = [i for i in range(n) if i not in axes]
+    perm = list(axes) + rest
+    # P: basis reorder matrix implemented via reshape/transpose of an identity-free
+    # approach: lift = perm^T (mat ⊗ I) perm acting on axes
+    full = jnp.kron(mat, jnp.eye(2 ** (n - k), dtype=mat.dtype))
+    t = full.reshape((2,) * (2 * n))
+    inv = np.argsort(perm)
+    t = jnp.transpose(t, list(inv) + [n + i for i in inv])
+    return t.reshape(d, d)
+
+
+def apply_gate_to_density(rho: jnp.ndarray, mat: jnp.ndarray,
+                          axes: Sequence[int], n: int) -> jnp.ndarray:
+    u = _lift(mat, axes, n)
+    return u @ rho @ u.conj().T
+
+
+def apply_kraus_to_density(rho: jnp.ndarray, kraus_stack: jnp.ndarray,
+                           axes: Sequence[int], n: int) -> jnp.ndarray:
+    out = jnp.zeros_like(rho)
+    for i in range(kraus_stack.shape[0]):
+        k = _lift(kraus_stack[i], axes, n)
+        out = out + k @ rho @ k.conj().T
+    return out
+
+
+def run_density_matrix(circuit: Circuit, qubits: Sequence[int],
+                       dtype=jnp.complex128) -> jnp.ndarray:
+    """Evolve |0..0><0..0| through the circuit including attached gate noise.
+
+    Gate noise entries (name, qubits_or_None, kraus_stack) apply their channel
+    after each gate whose name (and qubits, if specified) match — mirroring
+    pyquil's define_noisy_gate semantics.
+    """
+    qubits = list(qubits)
+    n = len(qubits)
+    pos = {q: i for i, q in enumerate(qubits)}
+    d = 2 ** n
+    rho = jnp.zeros((d, d), dtype=dtype).at[0, 0].set(1.0)
+    for gate in circuit.gates:
+        axes = [pos[q] for q in gate.qubits]
+        mat = jnp.asarray(gate.get_matrix(), dtype=dtype)
+        rho = apply_gate_to_density(rho, mat, axes, n)
+        for name, nq, kraus in circuit.gate_noise:
+            if name == gate.name and (nq is None or tuple(nq) == tuple(gate.qubits)):
+                rho = apply_kraus_to_density(rho, jnp.asarray(kraus, dtype=dtype),
+                                             axes, n)
+    return rho
+
+
+def confusion_matrix_for(circuit: Circuit, qubits: Sequence[int],
+                         dtype=jnp.float64) -> Optional[jnp.ndarray]:
+    """Full readout confusion C with C[obs, true] over the listed qubits."""
+    if not circuit.readout_confusion:
+        return None
+    c = jnp.eye(1, dtype=dtype)
+    for q in qubits:
+        cq = circuit.readout_confusion.get(q)
+        if cq is None:
+            cq = np.eye(2)
+        # stored row-stochastic p(observed|true) with rows=true: transpose to
+        # column-action form obs = C @ true
+        c = jnp.kron(c, jnp.asarray(cq, dtype=dtype).T)
+    return c
+
+
+def apply_confusion(probs: jnp.ndarray, circuit: Circuit,
+                    qubits: Sequence[int]) -> jnp.ndarray:
+    """Apply per-qubit readout confusion to a probability vector."""
+    c = confusion_matrix_for(circuit, qubits, dtype=probs.dtype)
+    if c is None:
+        return probs
+    return c @ probs
+
+
+def density_probabilities(circuit: Circuit, qubits: Sequence[int],
+                          dtype=jnp.complex128) -> jnp.ndarray:
+    """Measurement probabilities including gate noise and readout confusion."""
+    rho = run_density_matrix(circuit, qubits, dtype)
+    probs = jnp.real(jnp.diagonal(rho))
+    probs = jnp.clip(probs, 0, None)
+    probs = probs / jnp.sum(probs)
+    return apply_confusion(probs, circuit, qubits)

@@ -1,0 +1,132 @@
+"""The in-process quantum virtual machine: circuits -> shot data.
+
+Replaces the reference's ``QuantumComputer`` handle (QVM server + rpcq client):
+``run`` and ``run_symmetrized_readout`` have the same observable behavior as
+pyquil's (observable_estimation.py:907,1016) but execute as on-device JAX
+programs with explicit PRNG state — deterministic and server-free.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from forest_benchmarking_tpu.circuits import Circuit, Gate
+from forest_benchmarking_tpu.paulis import PauliTerm, pauli_term_to_matrix
+from forest_benchmarking_tpu.sim.statevector import run_statevector
+from forest_benchmarking_tpu.sim.density import (
+    run_density_matrix, density_probabilities, apply_confusion)
+
+__all__ = ["QVM"]
+
+
+class QVM:
+    """A seeded, in-process simulator with optional noise.
+
+    :param seed: PRNG seed (explicit, reproducible; split per run).
+    :param dtype: complex dtype for simulation (complex128 on cpu for parity
+        tests, complex64 on TPU).
+    :param noisy: force the density-matrix path even without noise annotations.
+    """
+
+    def __init__(self, seed: int = 52, dtype=jnp.complex128, noisy: bool = False):
+        self._key = jax.random.PRNGKey(seed)
+        self.dtype = dtype
+        self.noisy = noisy
+        self.name = f"fbtpu-qvm-{seed}"
+
+    # ---- PRNG plumbing ----
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ---- exact results ----
+    def wavefunction(self, circuit: Circuit, qubits: Sequence[int]) -> jnp.ndarray:
+        """Exact wavefunction. NOTE: complex arrays cannot be fetched to host on
+        the axon TPU tunnel; use probabilities()/expectation() there."""
+        return run_statevector(circuit, qubits, self.dtype)
+
+    def density(self, circuit: Circuit, qubits: Sequence[int]) -> jnp.ndarray:
+        """Exact density matrix (same TPU host-fetch caveat as wavefunction)."""
+        return run_density_matrix(circuit, qubits, self.dtype)
+
+    def _probs_impl(self, circuit: Circuit, qubits) -> jnp.ndarray:
+        if circuit.gate_noise or circuit.readout_confusion or self.noisy:
+            return density_probabilities(circuit, qubits, self.dtype)
+        psi = run_statevector(circuit, qubits, self.dtype)
+        p = jnp.abs(psi) ** 2
+        return p / jnp.sum(p)
+
+    def probabilities(self, circuit: Circuit, qubits: Sequence[int]) -> jnp.ndarray:
+        """Measurement probabilities; jitted so only real buffers leave device."""
+        return jax.jit(lambda: self._probs_impl(circuit, list(qubits)))()
+
+    def expectation(self, circuit: Circuit, qubits: Sequence[int],
+                    observable: PauliTerm) -> float:
+        """Exact <P> on the simulated (possibly noisy) state; no readout error."""
+        qubits = list(qubits)
+
+        def impl():
+            op = jnp.asarray(pauli_term_to_matrix(observable, qubits), self.dtype)
+            if circuit.gate_noise or self.noisy:
+                rho = run_density_matrix(circuit, qubits, self.dtype)
+                return jnp.real(jnp.trace(op @ rho))
+            psi = run_statevector(circuit, qubits, self.dtype)
+            return jnp.real(jnp.conj(psi) @ (op @ psi))
+
+        return float(jax.jit(impl)())
+
+    # ---- sampling ----
+    def run(self, circuit: Circuit, qubits: Sequence[int],
+            num_shots: int) -> np.ndarray:
+        """Sample bitstrings; returns (num_shots, len(qubits)) 0/1 array.
+
+        Column i is qubit ``qubits[i]`` (analog of pyquil's ro register order).
+        The whole simulate+sample runs as one jit with int output, so it works
+        on the axon TPU tunnel (no complex buffers cross the host boundary).
+        """
+        qubits = list(qubits)
+        n = len(qubits)
+
+        def impl(key):
+            probs = self._probs_impl(circuit, qubits)
+            logits = jnp.log(jnp.clip(probs, jnp.finfo(probs.dtype).tiny, None))
+            ints = jax.random.categorical(key, logits, shape=(num_shots,))
+            shifts = jnp.arange(n - 1, -1, -1)
+            return (ints[:, None] >> shifts) & 1
+
+        bits = jax.jit(impl)(self._next_key())
+        return np.asarray(bits, dtype=np.int64)
+
+    def run_symmetrized_readout(self, circuit: Circuit, num_shots: int,
+                                symm_type: int = -1,
+                                meas_qubits: Sequence[int] = None) -> np.ndarray:
+        """Run with readout symmetrization (exhaustive for symm_type=-1).
+
+        Pre-measurement X flips over all 2**k patterns (k = len(meas_qubits))
+        with shots split evenly; observed bits are XORed with the pattern.
+        symm_type 0 disables symmetrization; OA strengths 1-3 currently fall
+        back to exhaustive (a conservative superset; TODO: orthogonal arrays).
+        """
+        meas_qubits = list(meas_qubits)
+        if symm_type == 0:
+            return self.run(circuit, meas_qubits, num_shots)
+        k = len(meas_qubits)
+        n_patterns = 2 ** k
+        base = num_shots // n_patterns
+        rem = num_shots - base * n_patterns
+        chunks = []
+        for pat in range(n_patterns):
+            shots = base + (1 if pat < rem else 0)
+            if shots == 0:
+                continue
+            flips = [(pat >> (k - 1 - i)) & 1 for i in range(k)]
+            flipped = circuit.copy()
+            for q, f in zip(meas_qubits, flips):
+                if f:
+                    flipped += Gate("X", (), (q,))
+            bits = self.run(flipped, meas_qubits, shots)
+            chunks.append(bits ^ np.array(flips, dtype=np.int64))
+        return np.concatenate(chunks, axis=0)

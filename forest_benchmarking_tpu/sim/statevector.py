@@ -1,0 +1,70 @@
+"""Pure-state simulation: gate application by tensor contraction.
+
+Replaces pyquil's NumpyWavefunctionSimulator (used by the reference in
+quantum_volume.py:111-116 and tests). The state is a (2,)*n complex tensor;
+axis i is qubit ``qubits[i]`` with the first qubit the most significant bit of
+the flattened index (matching utils.pauli_term_to_matrix).
+
+Circuit structure is host-side Python, so a fixed circuit unrolls into one XLA
+program under jit; vmap over a stacked batch of custom gate matrices gives the
+"thousands of random circuits" path used by quantum volume.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from forest_benchmarking_tpu.circuits import Circuit
+
+__all__ = ["run_statevector", "statevector_probabilities", "all_bitstrings",
+           "apply_gate_matrix"]
+
+
+def apply_gate_matrix(psi: jnp.ndarray, mat: jnp.ndarray,
+                      axes: Sequence[int]) -> jnp.ndarray:
+    """Apply a k-qubit gate matrix to tensor axes ``axes`` of state tensor psi.
+
+    psi has shape (2,)*n (optionally with leading batch dims handled by vmap);
+    mat has shape (2**k, 2**k) with the first listed axis the most significant.
+    """
+    n = psi.ndim
+    k = len(axes)
+    mat_t = mat.reshape((2,) * (2 * k))
+    # contract mat's input indices (last k) with psi's axes
+    out = jnp.tensordot(mat_t, psi, axes=(list(range(k, 2 * k)), list(axes)))
+    # tensordot puts the k output indices first; move them back
+    return jnp.moveaxis(out, list(range(k)), list(axes))
+
+
+def run_statevector(circuit: Circuit, qubits: Sequence[int],
+                    dtype=jnp.complex128) -> jnp.ndarray:
+    """Evolve |0...0> through the circuit; returns the (2**n,) wavefunction.
+
+    ``qubits`` fixes the tensor order (first = most significant bit). Gates on
+    qubits outside the list raise.
+    """
+    qubits = list(qubits)
+    n = len(qubits)
+    pos = {q: i for i, q in enumerate(qubits)}
+    psi = jnp.zeros((2,) * n, dtype=dtype).at[(0,) * n].set(1.0)
+    for gate in circuit.gates:
+        mat = jnp.asarray(gate.get_matrix(), dtype=dtype)
+        axes = [pos[q] for q in gate.qubits]
+        psi = apply_gate_matrix(psi, mat, axes)
+    return psi.reshape(-1)
+
+
+def statevector_probabilities(circuit: Circuit, qubits: Sequence[int],
+                              dtype=jnp.complex128) -> jnp.ndarray:
+    """|psi|^2 over the 2**n bitstrings (first qubit = most significant bit)."""
+    psi = run_statevector(circuit, qubits, dtype)
+    return jnp.abs(psi) ** 2
+
+
+def all_bitstrings(n: int) -> np.ndarray:
+    """(2**n, n) array of bitstrings in integer order (first column = MSB)."""
+    ints = np.arange(2 ** n)
+    shifts = np.arange(n - 1, -1, -1)
+    return ((ints[:, None] >> shifts) & 1).astype(np.int64)

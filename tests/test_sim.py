@@ -1,0 +1,143 @@
+"""Simulator tests: statevector, density, noise, sampling, symmetrization."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from forest_benchmarking_tpu.circuits import (
+    Circuit, Gate, H, X, CNOT, CZ, RX, RY, RZ, SWAP, CCNOT, T, S, ISWAP, XY)
+from forest_benchmarking_tpu.sim import QVM, run_statevector
+from forest_benchmarking_tpu.sim.density import run_density_matrix
+from forest_benchmarking_tpu.paulis import sX, sY, sZ, str_to_pauli_term
+
+
+def test_plus_state():
+    psi = np.asarray(run_statevector(Circuit([H(0)]), [0]))
+    assert np.allclose(psi, [1 / np.sqrt(2), 1 / np.sqrt(2)])
+
+
+def test_bell_state():
+    psi = np.asarray(run_statevector(Circuit([H(0), CNOT(0, 1)]), [0, 1]))
+    assert np.allclose(psi, [1 / np.sqrt(2), 0, 0, 1 / np.sqrt(2)])
+
+
+def test_cnot_msb_convention():
+    # qubit order [0,1]: first listed qubit is MSB. X(0) then CNOT(0,1) -> |11>
+    psi = np.asarray(run_statevector(Circuit([X(0), CNOT(0, 1)]), [0, 1]))
+    assert np.allclose(np.abs(psi) ** 2, [0, 0, 0, 1])
+    # and with control=1, nothing happens to qubit 0 from |01>
+    psi = np.asarray(run_statevector(Circuit([X(1), CNOT(0, 1)]), [0, 1]))
+    assert np.allclose(np.abs(psi) ** 2, [0, 1, 0, 0])
+
+
+def test_ghz_on_3():
+    c = Circuit([H(0), CNOT(0, 1), CNOT(1, 2)])
+    p = np.abs(np.asarray(run_statevector(c, [0, 1, 2]))) ** 2
+    assert np.allclose(p, [0.5, 0, 0, 0, 0, 0, 0, 0.5])
+
+
+def test_gate_matrix_sanity():
+    # RY(pi/2)|0> = (|0>+|1>)/sqrt(2)
+    psi = np.asarray(run_statevector(Circuit([RY(np.pi / 2, 0)]), [0]))
+    assert np.allclose(psi, [1 / np.sqrt(2), 1 / np.sqrt(2)], atol=1e-12)
+    # T*S*Z |1> phases
+    psi = np.asarray(run_statevector(Circuit([X(0), T(0)]), [0]))
+    assert np.allclose(psi, [0, np.exp(1j * np.pi / 4)])
+
+
+def test_swap_and_ccnot():
+    psi = np.asarray(run_statevector(Circuit([X(0), SWAP(0, 1)]), [0, 1]))
+    assert np.allclose(np.abs(psi) ** 2, [0, 1, 0, 0])
+    psi = np.asarray(run_statevector(Circuit([X(0), X(1), CCNOT(0, 1, 2)]),
+                                     [0, 1, 2]))
+    assert np.allclose(np.abs(psi) ** 2, [0, 0, 0, 0, 0, 0, 0, 1])
+
+
+def test_density_matches_statevector():
+    c = Circuit([H(0), CNOT(0, 1), RZ(0.3, 1)])
+    psi = np.asarray(run_statevector(c, [0, 1]))
+    rho = np.asarray(run_density_matrix(c, [0, 1]))
+    assert np.allclose(rho, np.outer(psi, psi.conj()), atol=1e-12)
+
+
+def test_gate_noise_depolarizes():
+    from forest_benchmarking_tpu.utils import I_MAT, X_MAT, Y_MAT, Z_MAT
+    p = 0.3
+    kraus = [np.sqrt(1 - 3 * p / 4) * I_MAT] + \
+            [np.sqrt(p / 4) * P for P in (X_MAT, Y_MAT, Z_MAT)]
+    c = Circuit([H(0)])
+    c.define_noisy_gate("H", None, kraus)
+    rho = np.asarray(run_density_matrix(c, [0]))
+    plus = np.array([[0.5, 0.5], [0.5, 0.5]])
+    expected = (1 - p) * plus + p * np.eye(2) / 2
+    assert np.allclose(rho, expected, atol=1e-12)
+
+
+def test_qvm_run_deterministic_state():
+    qvm = QVM(seed=1)
+    bits = qvm.run(Circuit([X(0)]), [0], 100)
+    assert bits.shape == (100, 1)
+    assert np.all(bits == 1)
+
+
+def test_qvm_run_statistics():
+    qvm = QVM(seed=2)
+    bits = qvm.run(Circuit([H(0)]), [0], 20000)
+    assert abs(bits.mean() - 0.5) < 0.02
+
+
+def test_qvm_expectation_exact():
+    qvm = QVM(seed=3)
+    c = Circuit([H(0)])
+    assert np.isclose(qvm.expectation(c, [0], sX(0)), 1.0, atol=1e-12)
+    assert np.isclose(qvm.expectation(c, [0], sZ(0)), 0.0, atol=1e-12)
+    bell = Circuit([H(0), CNOT(0, 1)])
+    assert np.isclose(qvm.expectation(bell, [0, 1],
+                                      str_to_pauli_term("ZZ", [0, 1])), 1.0)
+    assert np.isclose(qvm.expectation(bell, [0, 1],
+                                      str_to_pauli_term("XX", [0, 1])), 1.0)
+    assert np.isclose(qvm.expectation(bell, [0, 1],
+                                      str_to_pauli_term("YY", [0, 1])), -1.0)
+
+
+def test_readout_confusion_biases_counts():
+    qvm = QVM(seed=4)
+    c = Circuit([X(0)])
+    c.define_noisy_readout(0, p00=1.0, p11=0.8)  # 1 misread as 0 with prob 0.2
+    bits = qvm.run(c, [0], 50000)
+    assert abs(bits.mean() - 0.8) < 0.01
+
+
+def test_symmetrized_readout_balances_asymmetric_error():
+    # |+> measured with asymmetric readout: raw mean biased, symmetrized ~0.5
+    qvm = QVM(seed=5)
+    c = Circuit([H(0)])
+    c.define_noisy_readout(0, p00=1.0, p11=0.7)
+    raw = qvm.run(c, [0], 40000).mean()
+    symm = qvm.run_symmetrized_readout(c, 40000, symm_type=-1,
+                                       meas_qubits=[0]).mean()
+    # raw mean = 0.5*p(1|0) + 0.5*p(1|1) = 0.35; symmetrization restores 0.5
+    assert abs(raw - 0.35) < 0.02
+    assert abs(symm - 0.5) < 0.02
+
+
+def test_symmetrized_readout_shot_count():
+    qvm = QVM(seed=6)
+    bits = qvm.run_symmetrized_readout(Circuit([H(0), CNOT(0, 1)]), 1001,
+                                       symm_type=-1, meas_qubits=[0, 1])
+    assert bits.shape == (1001, 2)
+
+
+def test_dagger_circuit_inverts():
+    c = Circuit([H(0), T(0), CNOT(0, 1), RY(0.3, 1)])
+    full = c + c.dagger()
+    psi = np.asarray(run_statevector(full, [0, 1]))
+    expected = np.zeros(4)
+    expected[0] = 1
+    assert np.allclose(np.abs(psi), expected, atol=1e-12)
+
+
+def test_iswap_xy_consistency():
+    # XY(pi) == ISWAP
+    psi1 = np.asarray(run_statevector(Circuit([X(0), XY(np.pi, 0, 1)]), [0, 1]))
+    psi2 = np.asarray(run_statevector(Circuit([X(0), ISWAP(0, 1)]), [0, 1]))
+    assert np.allclose(psi1, psi2, atol=1e-12)
