@@ -1,0 +1,157 @@
+"""Process tomography: linear inversion + PGDB vs truth and numpy oracle."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from forest_benchmarking_tpu.circuits import Circuit, H, CNOT, RX, RY, RZ, X
+from forest_benchmarking_tpu.sim import QVM
+from forest_benchmarking_tpu import distance_measures as dm
+from forest_benchmarking_tpu.ops import (
+    kraus2choi, choi2pauli_liouville, choi_is_trace_preserving,
+    choi_is_completely_positive)
+from forest_benchmarking_tpu.tomography import (
+    generate_process_tomography_experiment, linear_inv_process_estimate,
+    pgdb_process_estimate, pgdb_process_estimate_batched,
+    _extract_from_results, do_tomography)
+from forest_benchmarking_tpu.observable_estimation import (
+    estimate_observables, group_settings)
+from oracles import np_pgdb, wfn_estimate_observables
+
+
+def circuit_unitary(circuit, qubits):
+    from forest_benchmarking_tpu.sim.statevector import run_statevector
+    from forest_benchmarking_tpu.circuits import Circuit as C, X as XG
+    n = len(qubits)
+    cols = []
+    for i in range(2 ** n):
+        prep = C([XG(qubits[j]) for j in range(n) if (i >> (n - 1 - j)) & 1])
+        cols.append(np.asarray(run_statevector(prep + circuit, qubits)))
+    return np.stack(cols, axis=1)
+
+
+def true_choi(circuit, qubits):
+    return np.asarray(kraus2choi(jnp.asarray(circuit_unitary(circuit, qubits))[None]))
+
+
+@pytest.mark.parametrize("in_basis", ["pauli", "sic"])
+def test_linear_inv_process_exact(in_basis):
+    circuit = Circuit([RY(0.7, 0)])
+    qubits = [0]
+    qvm = QVM(seed=1)
+    expt = generate_process_tomography_experiment(circuit, qubits, in_basis)
+    results = wfn_estimate_observables(qvm, expt, qubits)
+    choi_est = np.asarray(linear_inv_process_estimate(results, qubits))
+    assert np.max(np.abs(choi_est - true_choi(circuit, qubits))) < 1e-8
+
+
+def test_linear_inv_process_2q_exact():
+    circuit = Circuit([CNOT(0, 1)])
+    qubits = [0, 1]
+    qvm = QVM(seed=2)
+    expt = generate_process_tomography_experiment(circuit, qubits, "pauli")
+    results = wfn_estimate_observables(qvm, expt, qubits)
+    choi_est = np.asarray(linear_inv_process_estimate(results, qubits))
+    assert np.max(np.abs(choi_est - true_choi(circuit, qubits))) < 1e-8
+
+
+def test_pgdb_exact_expectations_1q():
+    circuit = Circuit([RX(np.pi / 2, 0)])
+    qubits = [0]
+    qvm = QVM(seed=3)
+    expt = generate_process_tomography_experiment(circuit, qubits, "pauli")
+    results = wfn_estimate_observables(qvm, expt, qubits)
+    choi_est = pgdb_process_estimate(results, qubits)
+    truth = true_choi(circuit, qubits)
+    pf = float(dm.process_fidelity(choi2pauli_liouville(jnp.asarray(truth)),
+                                   choi2pauli_liouville(choi_est)))
+    assert pf > 0.999
+    assert choi_is_trace_preserving(np.asarray(choi_est), atol=1e-4)
+
+
+def test_pgdb_matches_numpy_oracle_1q():
+    circuit = Circuit([RY(0.9, 0)])
+    qubits = [0]
+    qvm = QVM(seed=4)
+    expt = group_settings(generate_process_tomography_experiment(circuit, qubits,
+                                                                 "pauli"))
+    results = list(estimate_observables(qvm, expt, num_shots=1500,
+                                        use_basic_compile=False))
+    a, n = _extract_from_results(results, qubits)
+    oracle = np_pgdb(a, n, dim=2)
+    ours = np.asarray(pgdb_process_estimate(results, qubits))
+    assert np.max(np.abs(ours - oracle)) < 1e-6
+
+
+@pytest.mark.slow
+def test_pgdb_matches_numpy_oracle_2q():
+    circuit = Circuit([H(0), CNOT(0, 1)])
+    qubits = [0, 1]
+    qvm = QVM(seed=5)
+    expt = group_settings(generate_process_tomography_experiment(circuit, qubits,
+                                                                 "pauli"))
+    results = list(estimate_observables(qvm, expt, num_shots=600,
+                                        use_basic_compile=False))
+    a, n = _extract_from_results(results, qubits)
+    oracle = np_pgdb(a, n, dim=4)
+    ours = np.asarray(pgdb_process_estimate(results, qubits))
+    assert np.max(np.abs(ours - oracle)) < 1e-6
+
+
+def test_pgdb_sampled_2q_close_to_truth():
+    circuit = Circuit([CNOT(0, 1)])
+    qubits = [0, 1]
+    qvm = QVM(seed=6)
+    expt = group_settings(generate_process_tomography_experiment(circuit, qubits,
+                                                                 "pauli"))
+    results = list(estimate_observables(qvm, expt, num_shots=2000,
+                                        use_basic_compile=False))
+    choi_est = pgdb_process_estimate(results, qubits)
+    truth = true_choi(circuit, qubits)
+    pf = float(dm.process_fidelity(choi2pauli_liouville(jnp.asarray(truth)),
+                                   choi2pauli_liouville(choi_est)))
+    assert pf > 0.97
+    assert choi_is_completely_positive(np.asarray(choi_est), atol=1e-2)
+
+
+def test_pgdb_trace_non_increasing_option():
+    circuit = Circuit([RZ(0.4, 0)])
+    qubits = [0]
+    qvm = QVM(seed=7)
+    expt = generate_process_tomography_experiment(circuit, qubits, "pauli")
+    results = wfn_estimate_observables(qvm, expt, qubits)
+    choi_est = np.asarray(pgdb_process_estimate(results, qubits,
+                                                trace_preserving=False))
+    # for a unitary process the TNI estimate should still be close to TP
+    truth = true_choi(circuit, qubits)
+    pf = float(dm.process_fidelity(choi2pauli_liouville(jnp.asarray(truth)),
+                                   choi2pauli_liouville(jnp.asarray(choi_est))))
+    assert pf > 0.99
+
+
+def test_pgdb_batched_matches_single():
+    qubits = [0]
+    qvm = QVM(seed=8)
+    all_results = []
+    for theta in (0.3, 1.0, 2.2):
+        circuit = Circuit([RY(theta, 0)])
+        expt = generate_process_tomography_experiment(circuit, qubits, "pauli")
+        all_results.append(list(estimate_observables(qvm, expt, num_shots=1000,
+                                                     use_basic_compile=False)))
+    a, _ = _extract_from_results(all_results[0], qubits)
+    ns = np.stack([_extract_from_results(r, qubits)[1] for r in all_results])
+    batched = np.asarray(pgdb_process_estimate_batched(jnp.asarray(a),
+                                                       jnp.asarray(ns), dim=2))
+    singles = np.stack([np.asarray(pgdb_process_estimate(r, qubits))
+                        for r in all_results])
+    assert np.max(np.abs(batched - singles)) < 1e-10
+
+
+def test_do_tomography_process():
+    qvm = QVM(seed=9)
+    circuit = Circuit([X(0)])
+    choi, expt, results = do_tomography(qvm, circuit, [0], "process",
+                                        num_shots=1500)
+    truth = true_choi(circuit, [0])
+    pf = float(dm.process_fidelity(choi2pauli_liouville(jnp.asarray(truth)),
+                                   choi2pauli_liouville(jnp.asarray(choi))))
+    assert pf > 0.95
