@@ -143,6 +143,9 @@ def basic_compile(program: Circuit) -> Circuit:
             new += _SWAP(*inst.qubits)
         elif inst.name == "T":
             new += _T(inst.qubits[0], needs_dagger)
+        elif inst.name == "S":
+            # extension over the reference: S = RZ(+-pi/2) (up to global phase)
+            new += RZ(-pi / 2 if needs_dagger else pi / 2, inst.qubits[0])
         elif inst.name == "H":
             new += _H(inst.qubits[0])
         elif inst.name == "X":

@@ -114,11 +114,16 @@ def generate_process_tomography_experiment(program: Circuit, qubits: List[int],
 
 @functools.lru_cache(maxsize=None)
 def _oneq_state_density(label: str, index: int) -> np.ndarray:
-    """Density matrix of a named 1q state, from its own prep circuit."""
+    """Density matrix of a named 1q state, from its own prep circuit.
+
+    Pure numpy (preps are single-qubit) — keeps experiment compilation off the
+    accelerator and avoids eager-op compiles on the axon TPU backend.
+    """
     from forest_benchmarking_tpu.observable_estimation import _OneQState
-    from forest_benchmarking_tpu.sim.statevector import run_statevector
     prep = _one_q_state_prep(_OneQState(label, index, 0))
-    psi = np.asarray(run_statevector(prep, [0], dtype=jnp.complex128))
+    psi = np.array([1.0, 0.0], dtype=complex)
+    for gate in prep.gates:
+        psi = gate.get_matrix() @ psi
     return np.outer(psi, psi.conj())
 
 
@@ -346,7 +351,7 @@ def linear_inv_process_estimate(results: List[ExperimentResult],
     for r in results:
         in_mat = state_to_density(r.setting.in_state, qubits)
         op = pauli_term_to_matrix(r.setting.observable.copy(coefficient=1.0), qubits)
-        rows.append(np.asarray(vec(np.kron(in_mat.conj(), op))).conj().T[0])
+        rows.append(np.kron(in_mat.conj(), op).T.reshape(-1).conj())  # vec()^dag
     measurement_matrix = np.stack(rows)
     expectations = np.array([r.expectation for r in results], dtype=float)
     choi_vec = jnp.linalg.pinv(jnp.asarray(measurement_matrix)) @ jnp.asarray(
@@ -368,8 +373,8 @@ def _extract_from_results(results: List[ExperimentResult], qubits: List[int]):
                                   qubits)
         proj_plus = (eye + op) / 2
         proj_minus = (eye - op) / 2
-        a_rows.append(np.asarray(vec(np.kron(in_mat, proj_plus.T))).T[0])
-        a_rows.append(np.asarray(vec(np.kron(in_mat, proj_minus.T))).T[0])
+        a_rows.append(np.kron(in_mat, proj_plus.T).T.reshape(-1))  # numpy vec
+        a_rows.append(np.kron(in_mat, proj_minus.T).T.reshape(-1))
         expected_plus = (1 + result.expectation) / 2
         n_vals.append(result.total_counts * expected_plus)
         n_vals.append(result.total_counts * (1 - expected_plus))
