@@ -213,11 +213,17 @@ class Circuit:
         self.gate_noise = list(gate_noise or [])
         self.readout_confusion = dict(readout_confusion or {})
 
+    @staticmethod
+    def _noise_key(entry):
+        name, qubits, kraus = entry
+        return (name, qubits, np.asarray(kraus).tobytes())
+
     def __add__(self, other):
         if isinstance(other, Gate):
             other = Circuit([other])
+        seen = {self._noise_key(n) for n in self.gate_noise}
         noise = self.gate_noise + [n for n in other.gate_noise
-                                   if n not in self.gate_noise]
+                                   if self._noise_key(n) not in seen]
         confusion = {**self.readout_confusion, **other.readout_confusion}
         return Circuit(self.gates + other.gates, gate_noise=noise,
                        readout_confusion=confusion)

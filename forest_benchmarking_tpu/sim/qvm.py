@@ -59,8 +59,17 @@ class QVM:
         p = jnp.abs(psi) ** 2
         return p / jnp.sum(p)
 
+    @staticmethod
+    def _on_cpu() -> bool:
+        # on cpu, per-circuit jit compiles dominate; run eagerly there. On the
+        # axon TPU tunnel, jit with real outputs is REQUIRED (complex buffers
+        # cannot cross the host boundary).
+        return jax.default_backend() == "cpu"
+
     def probabilities(self, circuit: Circuit, qubits: Sequence[int]) -> jnp.ndarray:
         """Measurement probabilities; jitted so only real buffers leave device."""
+        if self._on_cpu():
+            return self._probs_impl(circuit, list(qubits))
         return jax.jit(lambda: self._probs_impl(circuit, list(qubits)))()
 
     def expectation(self, circuit: Circuit, qubits: Sequence[int],
@@ -76,7 +85,7 @@ class QVM:
             psi = run_statevector(circuit, qubits, self.dtype)
             return jnp.real(jnp.conj(psi) @ (op @ psi))
 
-        return float(jax.jit(impl)())
+        return float(impl() if self._on_cpu() else jax.jit(impl)())
 
     # ---- sampling ----
     def run(self, circuit: Circuit, qubits: Sequence[int],
@@ -97,7 +106,8 @@ class QVM:
             shifts = jnp.arange(n - 1, -1, -1)
             return (ints[:, None] >> shifts) & 1
 
-        bits = jax.jit(impl)(self._next_key())
+        key = self._next_key()
+        bits = impl(key) if self._on_cpu() else jax.jit(impl)(key)
         return np.asarray(bits, dtype=np.int64)
 
     def run_symmetrized_readout(self, circuit: Circuit, num_shots: int,
