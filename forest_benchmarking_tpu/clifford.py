@@ -229,6 +229,12 @@ def _gate_to_tableau_word(gate: Gate, n: int, pos: Dict[int, int]) \
     """Sequence of elementary tableaus realizing the gate (circuit order)."""
     name = gate.name
     qs = tuple(pos[q] for q in gate.qubits)
+    if gate.matrix is not None:
+        # custom-matrix gates: identity (e.g. no-op noise carriers) is fine
+        mat = np.array(gate.matrix, dtype=complex)
+        if np.allclose(mat, np.eye(mat.shape[0])):
+            return []
+        raise ValueError(f"Unsupported custom-matrix gate for tableau: {gate.name}")
     if name in ("I",):
         return []
     if name in ("H", "S", "X", "Y", "Z", "CNOT", "CZ", "SWAP"):

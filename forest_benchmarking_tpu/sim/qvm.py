@@ -53,11 +53,30 @@ class QVM:
         return run_density_matrix(circuit, qubits, self.dtype)
 
     def _probs_impl(self, circuit: Circuit, qubits) -> jnp.ndarray:
+        """Probabilities over ``qubits`` (in order), simulating the union of
+        the circuit's qubits and the requested ones, then marginalizing —
+        mirroring how a QVM measures a subset of a larger register."""
+        sim_qubits = sorted(set(circuit.get_qubits()) | set(qubits))
         if circuit.gate_noise or circuit.readout_confusion or self.noisy:
-            return density_probabilities(circuit, qubits, self.dtype)
-        psi = run_statevector(circuit, qubits, self.dtype)
-        p = jnp.abs(psi) ** 2
-        return p / jnp.sum(p)
+            p = density_probabilities(circuit, sim_qubits, self.dtype)
+        else:
+            psi = run_statevector(circuit, sim_qubits, self.dtype)
+            p = jnp.abs(psi) ** 2
+            p = p / jnp.sum(p)
+        if list(sim_qubits) == list(qubits):
+            return p
+        n = len(sim_qubits)
+        pos = {q: i for i, q in enumerate(sim_qubits)}
+        keep_axes = [pos[q] for q in qubits]
+        drop_axes = tuple(i for i in range(n) if i not in keep_axes)
+        pt = p.reshape((2,) * n)
+        if drop_axes:
+            pt = jnp.sum(pt, axis=drop_axes)
+        # remaining axes are the kept ones in sim order; reorder to `qubits`
+        kept_sorted = [q for q in sim_qubits if q in set(qubits)]
+        perm = [kept_sorted.index(q) for q in qubits]
+        pt = jnp.transpose(pt, perm)
+        return pt.reshape(-1)
 
     @staticmethod
     def _on_cpu() -> bool:
