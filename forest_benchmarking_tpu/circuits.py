@@ -21,7 +21,7 @@ import numpy as np
 __all__ = ["Gate", "Circuit", "gate_matrix", "GATES",
            "I", "X", "Y", "Z", "H", "S", "T", "RX", "RY", "RZ",
            "PHASE", "CZ", "CNOT", "SWAP", "ISWAP", "XY", "CCNOT", "CPHASE",
-           "merge_circuits"]
+           "DELAY", "merge_circuits"]
 
 
 # ----------------------------- gate matrices -------------------------------
@@ -85,6 +85,8 @@ def gate_matrix(name: str, params: Tuple[float, ...] = (),
     """Dense matrix for a named gate (or an explicit custom matrix)."""
     if matrix is not None:
         mat = np.asarray(matrix, dtype=complex)
+    elif name == "DELAY":
+        mat = np.eye(2, dtype=complex)
     elif name in _PARAMETRIC:
         mat = _PARAMETRIC[name](*params)
     elif name in GATES:
@@ -194,6 +196,12 @@ def CPHASE(theta, q0, q1):
 
 def CCNOT(c0, c1, target):
     return Gate("CCNOT", (), (c0, c1, target))
+
+
+def DELAY(duration, q):
+    """Idle for ``duration`` seconds (identity unitary; decoheres under a QVM
+    with t1/t2 noise — the analog of quil-t Delay, qubit_spectroscopy.py:107)."""
+    return Gate("DELAY", (float(duration),), (q,))
 
 
 class Circuit:

@@ -120,6 +120,8 @@ def basic_compile(program: Circuit) -> Circuit:
 
         if inst.matrix is not None:
             new += inst
+        elif inst.name == "DELAY":
+            new += inst  # timing instruction, passes through untouched
         elif inst.name == "CZ":
             new += CZ(*inst.qubits)
         elif inst.name == "XY":

@@ -1,0 +1,247 @@
+"""Qubit spectroscopy: T1, T2*, T2-echo, Rabi, CZ phase Ramsey.
+
+Reference parity: forest/benchmarking/qubit_spectroscopy.py —
+acquire_qubit_spectroscopy_data:26, get_stats_by_qubit:49,
+generate_t1_experiments:86, fit_t1_results:115, do_t1_or_t2:157,
+generate_t2_star_experiments:202, generate_t2_echo_experiments:235,
+fit_t2_results:279, generate_rabi_experiments:333, fit_rabi_results:359,
+generate_cz_phase_ramsey_experiments:424, fit_cz_phase_ramsey_results:450.
+
+TPU-first notes: the DELAY instruction is first-class in the circuit IR and
+decoheres under the QVM's per-qubit t1s/t2s model, so closed-loop recovery
+tests actually work (the reference QVM strips quil-t delays). Fits ride the
+batched JAX Levenberg-Marquardt fitter.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+from numpy import pi
+
+from forest_benchmarking_tpu.circuits import Circuit, DELAY, RX, RY, RZ, CZ
+from forest_benchmarking_tpu.paulis import PauliTerm
+from forest_benchmarking_tpu.utils import transform_pauli_moments_to_bit
+from forest_benchmarking_tpu.analysis.fitting import (
+    FitResult, fit_decay_time_param_decay, fit_decaying_cosine,
+    fit_shifted_cosine)
+from forest_benchmarking_tpu.observable_estimation import (
+    ObservablesExperiment, ExperimentResult, ExperimentSetting,
+    estimate_observables, minusZ, plusZ, minusY)
+
+__all__ = [
+    "MICROSECOND", "MHZ", "acquire_qubit_spectroscopy_data",
+    "get_stats_by_qubit", "generate_t1_experiments", "fit_t1_results",
+    "do_t1_or_t2", "generate_t2_star_experiments",
+    "generate_t2_echo_experiments", "fit_t2_results",
+    "generate_rabi_experiments", "fit_rabi_results",
+    "generate_cz_phase_ramsey_experiments", "fit_cz_phase_ramsey_results",
+]
+
+MICROSECOND = 1e-6
+MHZ = 1e6
+
+
+def acquire_qubit_spectroscopy_data(qc, experiments: Sequence[ObservablesExperiment],
+                                    num_shots: int = 500,
+                                    show_progress_bar: bool = False) \
+        -> List[List[ExperimentResult]]:
+    """Run each experiment in series; one result list per experiment."""
+    results = []
+    for expt in experiments:
+        results.append(list(estimate_observables(qc, expt, num_shots)))
+    return results
+
+
+def get_stats_by_qubit(expt_results: List[List[ExperimentResult]]) \
+        -> Dict[int, Dict[str, List[float]]]:
+    """Arrange single-qubit-observable results into per-qubit series."""
+    stats_by_qubit = {}
+    for results in expt_results:
+        for res in results:
+            qubits = res.setting.observable.get_qubits()
+            if len(qubits) > 1:
+                raise ValueError("This method is intended for single qubit "
+                                 "observables.")
+            qubit = qubits[0]
+            if qubit not in stats_by_qubit:
+                stats_by_qubit[qubit] = {"expectation": [], "std_err": []}
+            stats_by_qubit[qubit]["expectation"].append(res.expectation)
+            stats_by_qubit[qubit]["std_err"].append(res.std_err)
+    return stats_by_qubit
+
+
+def _pauli_to_weights(expectations: Sequence[float],
+                      std_errs: Sequence[float] = None):
+    """(probability-of-one, weights) from negated Pauli expectations."""
+    expectations = np.asarray(expectations)
+    if std_errs is not None:
+        probability_one, var = transform_pauli_moments_to_bit(
+            -1 * expectations, np.asarray(std_errs) ** 2)
+        err = np.sqrt(var)
+        non_zero = [v for v in err if v > 0]
+        if len(non_zero) == 0:
+            return probability_one, None
+        min_non_zero = min(non_zero)
+        weights = 1 / np.asarray([v if v > 0 else min_non_zero for v in err])
+        return probability_one, weights
+    probability_one, _ = transform_pauli_moments_to_bit(-1 * expectations, 0)
+    return probability_one, None
+
+
+# ---------------------------------- T1 --------------------------------------
+
+def generate_t1_experiments(qubits: Sequence[int], times: Sequence[float]) \
+        -> List[ObservablesExperiment]:
+    """Initialize each qubit to |1>, delay t, measure Z — one expt per time."""
+    expts = []
+    for t in times:
+        t = round(t, 7)  # enforce 100 ns boundaries
+        program = Circuit()
+        settings = []
+        for q in qubits:
+            program += DELAY(t, q)
+            settings.append(ExperimentSetting(minusZ(q), PauliTerm([(q, "Z")])))
+        expts.append(ObservablesExperiment([settings], program))
+    return expts
+
+
+def fit_t1_results(times: Sequence[float], z_expectations: Sequence[float],
+                   z_std_errs: Sequence[float] = None,
+                   param_guesses: tuple = (1.0, 15, 0.0)) -> FitResult:
+    """Fit P(1) vs time to an exponential; T1 in fit.params['decay_time']."""
+    probability_one, weights = _pauli_to_weights(z_expectations, z_std_errs)
+    return fit_decay_time_param_decay(np.asarray(times), probability_one,
+                                      weights, param_guesses)
+
+
+def do_t1_or_t2(qc, qubits: Sequence[int], times: Sequence[float], kind: str,
+                num_shots: int = 500, show_progress_bar: bool = False) \
+        -> Tuple[Dict[int, float], List[ObservablesExperiment],
+                 List[List[ExperimentResult]]]:
+    """Generate, acquire, and fit a T1 / T2* / T2-echo experiment per qubit."""
+    if kind.lower() == "t1":
+        gen_method, fit_method = generate_t1_experiments, fit_t1_results
+    elif kind.lower() == "t2_star":
+        gen_method, fit_method = generate_t2_star_experiments, fit_t2_results
+    elif kind.lower() == "t2_echo":
+        gen_method, fit_method = generate_t2_echo_experiments, fit_t2_results
+    else:
+        raise ValueError("Kind must be one of 't1', 't2_star', or 't2_echo'.")
+
+    expts = gen_method(qubits, times)
+    results = acquire_qubit_spectroscopy_data(qc, expts, num_shots,
+                                              show_progress_bar)
+    stats = get_stats_by_qubit(results)
+    decay_time_by_qubit = {}
+    for qubit in qubits:
+        fit = fit_method(np.asarray(times) / MICROSECOND,
+                         stats[qubit]["expectation"], stats[qubit]["std_err"])
+        decay_time_by_qubit[qubit] = float(fit.params["decay_time"].value)
+    return decay_time_by_qubit, expts, results
+
+
+# ------------------------------- T2* / T2 echo -------------------------------
+
+def generate_t2_star_experiments(qubits: Sequence[int], times: Sequence[float],
+                                 detuning: float = 1e6) \
+        -> List[ObservablesExperiment]:
+    """minusY prep, delay t + detuning RZ, measure Y — Ramsey fringes."""
+    expts = []
+    for t in times:
+        t = round(t, 7)
+        program = Circuit()
+        settings = []
+        for q in qubits:
+            program += DELAY(t, q)
+            program += RZ(2 * pi * t * detuning, q)
+            settings.append(ExperimentSetting(minusY(q), PauliTerm([(q, "Y")])))
+        expts.append(ObservablesExperiment([settings], program))
+    return expts
+
+
+def generate_t2_echo_experiments(qubits: Sequence[int], times: Sequence[float],
+                                 detuning: float = 1e6) \
+        -> List[ObservablesExperiment]:
+    """Like T2* but with a RY(pi) echo splitting the delay."""
+    expts = []
+    for t in times:
+        half_time = round(t / 2, 7)
+        t = round(t, 7)
+        program = Circuit()
+        settings = []
+        for q in qubits:
+            program += DELAY(half_time, q)
+            program += RY(pi, q)
+            program += DELAY(half_time, q)
+            program += RZ(2 * pi * t * detuning, q)
+            settings.append(ExperimentSetting(minusY(q), PauliTerm([(q, "Y")])))
+        expts.append(ObservablesExperiment([settings], program))
+    return expts
+
+
+def fit_t2_results(times: Sequence[float], y_expectations: Sequence[float],
+                   y_std_errs: Sequence[float] = None, detuning: float = 1e6,
+                   param_guesses: tuple = None) -> FitResult:
+    """Fit P(1) vs time to a decaying cosine; T2 in fit.params['decay_time']."""
+    if param_guesses is None:
+        param_guesses = (.5, 10, 0.0, 0.5, detuning / MHZ)
+    probability_one, weights = _pauli_to_weights(y_expectations, y_std_errs)
+    return fit_decaying_cosine(np.asarray(times), probability_one, weights,
+                               param_guesses)
+
+
+# --------------------------------- Rabi --------------------------------------
+
+def generate_rabi_experiments(qubits: Sequence[int], angles: Sequence[float]) \
+        -> List[ObservablesExperiment]:
+    """RX(angle) from |0>, measure Z — one experiment per angle."""
+    expts = []
+    for angle in angles:
+        program = Circuit()
+        settings = []
+        for q in qubits:
+            program += RX(angle, q)
+            settings.append(ExperimentSetting(plusZ(q), PauliTerm([(q, "Z")])))
+        expts.append(ObservablesExperiment([settings], program))
+    return expts
+
+
+def fit_rabi_results(angles: Sequence[float], z_expectations: Sequence[float],
+                     z_std_errs: Sequence[float] = None,
+                     param_guesses: tuple = (-.5, 0, .5, 1.)) -> FitResult:
+    """Fit P(1) vs control angle to a shifted cosine; 'frequency' is the ratio
+    of actual to intended rotation angle."""
+    probability_one, weights = _pauli_to_weights(z_expectations, z_std_errs)
+    return fit_shifted_cosine(np.asarray(angles), probability_one, weights,
+                              param_guesses)
+
+
+# ---------------------------- CZ phase Ramsey --------------------------------
+
+def generate_cz_phase_ramsey_experiments(cz_qubits: Sequence[int],
+                                         measure_qubit: int,
+                                         angles: Sequence[float]) \
+        -> List[ObservablesExperiment]:
+    """CZ then RZ(angle) on the measure qubit prepared in minusY; measure Y."""
+    expts = []
+    for angle in angles:
+        program = Circuit()
+        program += CZ(*cz_qubits)
+        program += RZ(angle, measure_qubit)
+        settings = [ExperimentSetting(minusY(measure_qubit),
+                                      PauliTerm([(measure_qubit, "Y")]))]
+        expts.append(ObservablesExperiment([settings], program))
+    return expts
+
+
+def fit_cz_phase_ramsey_results(angles: Sequence[float],
+                                y_expectations: Sequence[float],
+                                y_std_errs: Sequence[float] = None,
+                                param_guesses: tuple = (.5, 0, .5, 1.)) \
+        -> FitResult:
+    """Fit P(1) vs angle to a shifted cosine; 'offset' estimates the effective
+    RZ imparted by the CZ on the measure qubit."""
+    probability_one, weights = _pauli_to_weights(y_expectations, y_std_errs)
+    return fit_shifted_cosine(np.asarray(angles), probability_one, weights,
+                              param_guesses)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from forest_benchmarking_tpu.circuits import Circuit, Gate
 
 __all__ = ["run_density_matrix", "density_probabilities", "apply_confusion",
-           "apply_gate_to_density", "apply_kraus_to_density"]
+           "apply_gate_to_density", "apply_kraus_to_density", "decoherence_kraus"]
 
 
 def _lift(mat: jnp.ndarray, axes: Sequence[int], n: int) -> jnp.ndarray:
@@ -48,13 +48,36 @@ def apply_kraus_to_density(rho: jnp.ndarray, kraus_stack: jnp.ndarray,
     return out
 
 
+def decoherence_kraus(duration: float, t1: Optional[float],
+                      t2: Optional[float]) -> np.ndarray:
+    """Kraus stack for idling ``duration`` with relaxation T1 and coherence T2.
+
+    Amplitude damping gamma = 1 - exp(-t/T1) composed with pure dephasing
+    chosen so off-diagonals decay as exp(-t/T2) overall (requires T2 <= 2 T1).
+    """
+    gamma = 0.0 if (t1 is None or t1 <= 0) else 1 - np.exp(-duration / t1)
+    amp = [np.array([[1, 0], [0, np.sqrt(1 - gamma)]], dtype=complex),
+           np.array([[0, np.sqrt(gamma)], [0, 0]], dtype=complex)]
+    if t2 is None or t2 <= 0:
+        return np.stack(amp)
+    half_t1_rate = 0.0 if (t1 is None or t1 <= 0) else 1 / (2 * t1)
+    phi_rate = 1 / t2 - half_t1_rate
+    lam = 1 - np.exp(-2 * duration * max(phi_rate, 0.0))
+    deph = [np.diag([1, np.sqrt(1 - lam)]).astype(complex),
+            np.diag([0, np.sqrt(lam)]).astype(complex)]
+    return np.stack([d @ a for a in amp for d in deph])
+
+
 def run_density_matrix(circuit: Circuit, qubits: Sequence[int],
-                       dtype=jnp.complex128) -> jnp.ndarray:
+                       dtype=jnp.complex128,
+                       t1s: Optional[Dict[int, float]] = None,
+                       t2s: Optional[Dict[int, float]] = None) -> jnp.ndarray:
     """Evolve |0..0><0..0| through the circuit including attached gate noise.
 
     Gate noise entries (name, qubits_or_None, kraus_stack) apply their channel
     after each gate whose name (and qubits, if specified) match — mirroring
-    pyquil's define_noisy_gate semantics.
+    pyquil's define_noisy_gate semantics. DELAY gates additionally decohere
+    under the optional per-qubit t1s/t2s model.
     """
     qubits = list(qubits)
     n = len(qubits)
@@ -65,6 +88,12 @@ def run_density_matrix(circuit: Circuit, qubits: Sequence[int],
         axes = [pos[q] for q in gate.qubits]
         mat = jnp.asarray(gate.get_matrix(), dtype=dtype)
         rho = apply_gate_to_density(rho, mat, axes, n)
+        if gate.name == "DELAY" and (t1s or t2s):
+            q = gate.qubits[0]
+            kraus = decoherence_kraus(gate.params[0],
+                                      (t1s or {}).get(q), (t2s or {}).get(q))
+            rho = apply_kraus_to_density(rho, jnp.asarray(kraus, dtype=dtype),
+                                         axes, n)
         for name, nq, kraus in circuit.gate_noise:
             if name == gate.name and (nq is None or tuple(nq) == tuple(gate.qubits)):
                 rho = apply_kraus_to_density(rho, jnp.asarray(kraus, dtype=dtype),
@@ -98,9 +127,11 @@ def apply_confusion(probs: jnp.ndarray, circuit: Circuit,
 
 
 def density_probabilities(circuit: Circuit, qubits: Sequence[int],
-                          dtype=jnp.complex128) -> jnp.ndarray:
+                          dtype=jnp.complex128,
+                          t1s: Optional[Dict[int, float]] = None,
+                          t2s: Optional[Dict[int, float]] = None) -> jnp.ndarray:
     """Measurement probabilities including gate noise and readout confusion."""
-    rho = run_density_matrix(circuit, qubits, dtype)
+    rho = run_density_matrix(circuit, qubits, dtype, t1s=t1s, t2s=t2s)
     probs = jnp.real(jnp.diagonal(rho))
     probs = jnp.clip(probs, 0, None)
     probs = probs / jnp.sum(probs)

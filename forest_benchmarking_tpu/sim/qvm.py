@@ -31,10 +31,14 @@ class QVM:
     :param noisy: force the density-matrix path even without noise annotations.
     """
 
-    def __init__(self, seed: int = 52, dtype=jnp.complex128, noisy: bool = False):
+    def __init__(self, seed: int = 52, dtype=jnp.complex128, noisy: bool = False,
+                 t1s=None, t2s=None):
         self._key = jax.random.PRNGKey(seed)
         self.dtype = dtype
         self.noisy = noisy
+        # optional per-qubit decoherence model applied at DELAY instructions
+        self.t1s = dict(t1s or {})
+        self.t2s = dict(t2s or {})
         self.name = f"fbtpu-qvm-{seed}"
 
     # ---- PRNG plumbing ----
@@ -57,8 +61,13 @@ class QVM:
         the circuit's qubits and the requested ones, then marginalizing —
         mirroring how a QVM measures a subset of a larger register."""
         sim_qubits = sorted(set(circuit.get_qubits()) | set(qubits))
-        if circuit.gate_noise or circuit.readout_confusion or self.noisy:
-            p = density_probabilities(circuit, sim_qubits, self.dtype)
+        needs_density = (circuit.gate_noise or circuit.readout_confusion
+                         or self.noisy
+                         or ((self.t1s or self.t2s)
+                             and any(g.name == "DELAY" for g in circuit.gates)))
+        if needs_density:
+            p = density_probabilities(circuit, sim_qubits, self.dtype,
+                                      t1s=self.t1s, t2s=self.t2s)
         else:
             psi = run_statevector(circuit, sim_qubits, self.dtype)
             p = jnp.abs(psi) ** 2
@@ -98,8 +107,9 @@ class QVM:
 
         def impl():
             op = jnp.asarray(pauli_term_to_matrix(observable, qubits), self.dtype)
-            if circuit.gate_noise or self.noisy:
-                rho = run_density_matrix(circuit, qubits, self.dtype)
+            if circuit.gate_noise or self.noisy or self.t1s or self.t2s:
+                rho = run_density_matrix(circuit, qubits, self.dtype,
+                                         t1s=self.t1s, t2s=self.t2s)
                 return jnp.real(jnp.trace(op @ rho))
             psi = run_statevector(circuit, qubits, self.dtype)
             return jnp.real(jnp.conj(psi) @ (op @ psi))
