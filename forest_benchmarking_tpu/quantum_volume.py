@@ -1,0 +1,314 @@
+"""Quantum volume measurement [QVol] (arXiv:1811.12926).
+
+Reference parity: forest/benchmarking/quantum_volume.py —
+_naive_program_generator:21, collect_heavy_outputs:94,
+generate_abstract_qv_circuit:126, sample_rand_circuits_for_heavy_out:154,
+calculate_prob_est_and_err:211 (eq. C3), measure_quantum_volume:234,
+count_heavy_hitters_sampled:322, get_prob_sample_heavy_by_depth:344,
+extract_quantum_volume_from_results:379 (QV = 2^maxdepth).
+
+Gate indexing note: the reference applies layer gate j to qubits
+(perm[j], perm[j+1]) — sequentially within a layer, sharing qubits — in both
+its simulator and its program generator (quantum_volume.py:55,113). We mirror
+that exactly so heavy-output statistics are comparable.
+
+TPU-first design: besides the reference-shaped per-circuit API (which runs
+through the in-process QVM and supports noise), ``sample_heavy_outputs_batched``
+is a single jit that samples permutations + Haar gates, simulates all circuits
+as one batched statevector evolution (per-circuit qubit permutations become
+bit-permutation gathers so gate positions stay static), finds heavy outputs,
+and samples shots — the whole depth in one XLA dispatch (BASELINE config 5).
+"""
+from __future__ import annotations
+
+import logging
+import warnings
+from statistics import median
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from forest_benchmarking_tpu.circuits import Circuit, Gate
+from forest_benchmarking_tpu.ops.random_operators import haar_rand_unitary
+from forest_benchmarking_tpu.utils import bit_array_to_int
+from forest_benchmarking_tpu.sim.statevector import apply_gate_matrix
+
+log = logging.getLogger(__name__)
+
+__all__ = [
+    "generate_abstract_qv_circuit", "collect_heavy_outputs",
+    "abstract_circuit_to_circuit", "sample_rand_circuits_for_heavy_out",
+    "sample_heavy_outputs_batched", "calculate_prob_est_and_err",
+    "measure_quantum_volume", "measure_quantum_volume_batched",
+    "count_heavy_hitters_sampled", "get_prob_sample_heavy_by_depth",
+    "extract_quantum_volume_from_results",
+]
+
+
+def generate_abstract_qv_circuit(depth: int,
+                                 rng: Optional[np.random.RandomState] = None) \
+        -> Tuple[List[np.ndarray], np.ndarray]:
+    """Random permutations and Haar-random 4x4 gates of a model circuit."""
+    if rng is None:
+        rng = np.random
+    permutations = [rng.permutation(range(depth)) for _ in range(depth)]
+    num_gates_per_layer = depth // 2
+    # host-side Haar samples (tiny); use numpy QR with phase fix
+    def haar4():
+        z = rng.randn(4, 4) + 1j * rng.randn(4, 4)
+        q, r = np.linalg.qr(z)
+        lam = np.diagonal(r) / np.abs(np.diagonal(r))
+        return q * lam
+    gates = np.asarray([[haar4() for _ in range(num_gates_per_layer)]
+                        for _ in range(depth)])
+    return permutations, gates
+
+
+def collect_heavy_outputs(depth: int, permutations: Sequence[np.ndarray],
+                          gates: np.ndarray) -> List[int]:
+    """Ints of bitstrings output with greater-than-median ideal probability.
+
+    Simulates the model circuit with the in-process statevector engine
+    (replacing NumpyWavefunctionSimulator; same qubit-0-leftmost ordering).
+    """
+    psi = jnp.zeros((2,) * depth, dtype=jnp.complex128).at[(0,) * depth].set(1.0)
+    for perm, layer in zip(permutations, gates):
+        for gate_idx, gate in enumerate(layer):
+            psi = apply_gate_matrix(psi, jnp.asarray(gate, jnp.complex128),
+                                    (int(perm[gate_idx]), int(perm[gate_idx + 1])))
+    probabilities = np.abs(np.asarray(psi).reshape(-1)) ** 2
+    median_prob = median(probabilities)
+    return [idx for idx, prob in enumerate(probabilities) if prob > median_prob]
+
+
+def abstract_circuit_to_circuit(qubits: Sequence[int],
+                                permutations: Sequence[np.ndarray],
+                                gates: np.ndarray) -> Circuit:
+    """The analog of _naive_program_generator: custom-matrix gates on the first
+    depth-many of ``qubits`` (no ISA restriction — there is no remote compiler).
+    """
+    num_measure_qubits = len(permutations[0])
+    measure_qubits = list(qubits)[:num_measure_qubits]
+    circ = Circuit()
+    for perm, layer in zip(permutations, gates):
+        for gate_idx, gate in enumerate(layer):
+            circ += Gate("QVGATE", (), (int(measure_qubits[perm[gate_idx]]),
+                                        int(measure_qubits[perm[gate_idx + 1]])),
+                         matrix=tuple(map(tuple, np.asarray(gate, complex))))
+    return circ
+
+
+def sample_rand_circuits_for_heavy_out(qc, qubits: Sequence[int], depth: int,
+                                       program_generator: Callable = None,
+                                       num_circuits: int = 100,
+                                       num_shots: int = 1000,
+                                       show_progress_bar: bool = False,
+                                       rng: Optional[np.random.RandomState] = None) -> int:
+    """Count sampled heavy outputs across random model circuits at this depth.
+
+    Runs each circuit on ``qc`` (which may be noisy) and compares against the
+    ideal heavy-output set.
+    """
+    if rng is None:
+        rng = np.random
+    num_heavy = 0
+    for _ in range(num_circuits):
+        permutations, gates = generate_abstract_qv_circuit(depth, rng)
+        if program_generator is None:
+            program = abstract_circuit_to_circuit(qubits, permutations, gates)
+        else:
+            program = program_generator(qc, qubits, permutations, gates)
+        measure_qubits = list(qubits)[:depth]
+        results = qc.run(program, measure_qubits, num_shots)
+        heavy_outputs = set(collect_heavy_outputs(depth, permutations, gates))
+        for result in results:
+            if bit_array_to_int(result) in heavy_outputs:
+                num_heavy += 1
+    return num_heavy
+
+
+# ----------------------- batched TPU-native fast path ------------------------
+
+def _bit_permute_indices(perm: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Gather indices so new position i holds old qubit perm[i] (MSB first)."""
+    x = jnp.arange(2 ** depth)
+    out = jnp.zeros_like(x)
+    for i in range(depth):
+        bit = (x >> (depth - 1 - i)) & 1
+        out = out | (bit << (depth - 1 - perm[i]))
+    return out
+
+
+def _simulate_qv_circuit(perms: jnp.ndarray, gates: jnp.ndarray,
+                         depth: int) -> jnp.ndarray:
+    """Ideal output probabilities of one model circuit (jit/vmap-safe).
+
+    perms: (depth, depth) int array; gates: (depth, depth//2, 4, 4) complex.
+    """
+    psi = jnp.zeros((2,) * depth, dtype=gates.dtype).at[(0,) * depth].set(1.0)
+    for layer in range(depth):
+        perm = perms[layer]
+        # permute the state so old qubit perm[i] sits at position i; gates then
+        # act at static positions (j, j+1), exactly matching the reference's
+        # (perm[j], perm[j+1]) indexing
+        fwd = _bit_permute_indices(perm, depth)
+        psi = psi.reshape(-1)[fwd].reshape((2,) * depth)
+        for j in range(depth // 2):
+            psi = apply_gate_matrix(psi, gates[layer, j], (j, j + 1))
+        inv = jnp.argsort(fwd)
+        psi = psi.reshape(-1)[inv].reshape((2,) * depth)
+    return jnp.abs(psi.reshape(-1)) ** 2
+
+
+def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
+                                 num_shots: int,
+                                 dtype=jnp.float32) -> jnp.ndarray:
+    """One jit: sample circuits, find heavy sets, sample shots, count heavies.
+
+    Returns the scalar total number of heavy outputs sampled across all
+    circuits (int32). This is the ideal-device path: shots are drawn from the
+    exact output distribution, so the heavy-output probability estimate
+    converges to the ideal (0.85-ish asymptote (1+ln2)/2) at large depth.
+    """
+    kp, kg, ks = jax.random.split(key, 3)
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+
+    perms = _sample_perms(kp, num_circuits, depth)
+
+    gates = haar_rand_unitary(kg, 4, batch=(num_circuits, depth, depth // 2),
+                              dtype=dtype).astype(cdtype)
+
+    probs = jax.vmap(lambda p, g: _simulate_qv_circuit(p, g, depth))(perms, gates)
+    med = jnp.median(probs, axis=1, keepdims=True)
+    heavy = probs > med  # (C, 2**depth)
+
+    logits = jnp.log(jnp.clip(probs, jnp.finfo(dtype).tiny, None))
+    samples = jax.random.categorical(ks, logits[:, None, :], axis=-1,
+                                     shape=(num_circuits, num_shots))
+    sampled_heavy = jnp.take_along_axis(heavy, samples, axis=1)
+    return jnp.sum(sampled_heavy.astype(jnp.int32))
+
+
+def _sample_perms(key, num_circuits: int, depth: int) -> jnp.ndarray:
+    keys = jax.random.split(key, num_circuits * depth)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, depth))(keys)
+    return perms.reshape(num_circuits, depth, depth)
+
+
+def measure_quantum_volume_batched(key=None, max_depth: int = 8,
+                                   num_circuits: int = 200,
+                                   num_shots: int = 1000,
+                                   achievable_threshold: float = 2 / 3,
+                                   stop_when_fail: bool = True,
+                                   dtype=jnp.float32) \
+        -> Dict[int, Tuple[float, float]]:
+    """Scan depths 2..max_depth with the fully-batched ideal-device kernel."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    results = {}
+    sample_jit = jax.jit(sample_heavy_outputs_batched,
+                         static_argnames=("depth", "num_circuits", "num_shots",
+                                          "dtype"))
+    for depth in range(2, max_depth + 1):
+        key, sub = jax.random.split(key)
+        num_heavy = int(sample_jit(sub, depth=depth, num_circuits=num_circuits,
+                                   num_shots=num_shots, dtype=dtype))
+        prob, conf = calculate_prob_est_and_err(num_heavy, num_circuits,
+                                                num_shots)
+        results[depth] = (prob, conf)
+        if stop_when_fail and conf <= achievable_threshold:
+            break
+    return results
+
+
+# ------------------------------- analysis ------------------------------------
+
+def calculate_prob_est_and_err(num_heavy: int, num_circuits: int,
+                               num_shots: int) -> Tuple[float, float]:
+    """Heavy-output probability estimate and its 2-sigma one-sided lower bound
+    (eq. C3 of [QVol])."""
+    total_sampled_outputs = num_circuits * num_shots
+    prob_sample_heavy = num_heavy / total_sampled_outputs
+    one_sided_confidence_interval = prob_sample_heavy - \
+        2 * np.sqrt(num_heavy * (num_shots - num_heavy / num_circuits)) \
+        / total_sampled_outputs
+    return prob_sample_heavy, one_sided_confidence_interval
+
+
+def measure_quantum_volume(qc, qubits: Sequence[int] = None,
+                           program_generator: Callable = None,
+                           num_circuits: int = 100, num_shots: int = 1000,
+                           depths: Optional[np.ndarray] = None,
+                           achievable_threshold: float = 2 / 3,
+                           stop_when_fail: bool = True,
+                           show_progress_bar: bool = False,
+                           rng: Optional[np.random.RandomState] = None) \
+        -> Dict[int, Tuple[float, float]]:
+    """Measure quantum volume of the given (possibly noisy) qc [QVol]."""
+    if num_circuits < 100:
+        warnings.warn("The number of random circuits ran ought to be greater "
+                      "than 100 for results to be valid.")
+    if qubits is None:
+        raise ValueError("Specify the qubits available on the qc.")
+    if depths is None:
+        depths = np.arange(2, len(qubits) + 1)
+
+    results = {}
+    for depth in depths:
+        log.info("Starting depth %s", depth)
+        num_heavy = sample_rand_circuits_for_heavy_out(
+            qc, qubits, depth, program_generator, num_circuits, num_shots,
+            show_progress_bar, rng=rng)
+        prob_sample_heavy, one_sided = calculate_prob_est_and_err(
+            num_heavy, num_circuits, num_shots)
+        results[depth] = (prob_sample_heavy, one_sided)
+        if stop_when_fail and not one_sided > achievable_threshold:
+            break
+    return results
+
+
+def count_heavy_hitters_sampled(qc_results: Iterator[np.ndarray],
+                                heavy_hitters: Iterator[List[int]]) -> Iterator[int]:
+    """Per-circuit counts of sampled bitstrings that are heavy."""
+    for results, hh_list in zip(qc_results, heavy_hitters):
+        hh_set = set(hh_list)
+        num_heavy = 0
+        for result in results:
+            if bit_array_to_int(result) in hh_set:
+                num_heavy += 1
+        yield num_heavy
+
+
+def get_prob_sample_heavy_by_depth(depths: Iterator[int],
+                                   num_hh_sampled: Iterator[int],
+                                   num_shots: Iterator[int]) \
+        -> Dict[int, Tuple[float, float]]:
+    """Per-depth (probability estimate, lower bound) from per-circuit counts."""
+    nheavy_by_depth = {}
+    for depth, num_heavy, n_shots in zip(depths, num_hh_sampled, num_shots):
+        if depth not in nheavy_by_depth:
+            nheavy_by_depth[depth] = ([num_heavy], n_shots)
+        else:
+            nheavy_by_depth[depth][0].append(num_heavy)
+            assert n_shots == nheavy_by_depth[depth][1], \
+                "The number of shots should be the same for each circuit of a " \
+                "given depth."
+    results_by_depth = {}
+    for depth, (n_heavy, n_shots) in nheavy_by_depth.items():
+        results_by_depth[depth] = calculate_prob_est_and_err(
+            sum(n_heavy), len(n_heavy), n_shots)
+    return results_by_depth
+
+
+def extract_quantum_volume_from_results(results: Dict[int, Tuple[float, float]]) -> int:
+    """QV = 2^(largest achieved depth) (eq. 7 of [QVol])."""
+    depths = sorted(results.keys())
+    max_depth = 1
+    for depth in depths:
+        _, lower_bound = results[depth]
+        if lower_bound <= 2 / 3:
+            break
+        max_depth = depth
+    return 2 ** max_depth

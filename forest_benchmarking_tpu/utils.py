@@ -212,3 +212,155 @@ def transform_pauli_moments_to_bit(mean_p, var_p):
 def transform_bit_moments_to_pauli(mean_c, var_c):
     """Bit (Bernoulli) moments on [0, 1] -> Pauli-operator moments on [-1, 1]."""
     return 2 * mean_c - 1, 4 * var_c
+
+
+# ---------------------------------------------------------------------------
+# Circuit-building helpers (reference utils.py:86-325,461-545)
+# ---------------------------------------------------------------------------
+
+def prepare_state_on_bloch_sphere(qubit: int, theta: float, phi: float):
+    """Circuit preparing the qubit at (theta, phi) on the Bloch sphere from |0>
+    using native RX(+-pi/2)/RZ rotations (reference utils.py:86)."""
+    from forest_benchmarking_tpu.circuits import Circuit, RX, RZ
+    return Circuit([RX(np.pi / 2, qubit), RZ(theta, qubit),
+                    RX(-np.pi / 2, qubit), RZ(phi, qubit)])
+
+
+def local_pauli_eig_prep(op: str, qubit: int):
+    """Circuit preparing the +1 eigenstate of the given Pauli from |0> (:187)."""
+    from forest_benchmarking_tpu.circuits import Circuit, RX, RY, I
+    if op == "X":
+        return Circuit([RY(np.pi / 2, qubit)])
+    if op == "Y":
+        return Circuit([RX(-np.pi / 2, qubit)])
+    if op == "Z":
+        return Circuit([I(qubit)])
+    raise ValueError("Unknown gate operation")
+
+
+def local_pauli_eigs_prep(op: str, qubit: int):
+    """Circuits preparing both eigenstates of the given Pauli (:209)."""
+    from forest_benchmarking_tpu.circuits import Circuit, RX, RY, I
+    if op == "X":
+        gates = [RY(np.pi / 2, qubit), RY(-np.pi / 2, qubit)]
+    elif op == "Y":
+        gates = [RX(-np.pi / 2, qubit), RX(np.pi / 2, qubit)]
+    elif op == "Z":
+        gates = [I(qubit), RX(np.pi, qubit)]
+    else:
+        raise ValueError("Unknown gate operation")
+    return [Circuit([g]) for g in gates]
+
+
+def random_local_pauli_eig_prep(circuit, op: str, qubit: int,
+                                rng=None):
+    """Append a random eigenstate prep of the Pauli; returns its label (:230)."""
+    from forest_benchmarking_tpu.circuits import RX, RY, I
+    if rng is None:
+        rng = np.random
+    pick = rng.random() > 0.5 if hasattr(rng, "random") else rng.rand() > 0.5
+    if op == "X":
+        gate, descr = (RY(np.pi / 2, qubit), "+X") if pick else (RY(-np.pi / 2, qubit), "-X")
+    elif op == "Y":
+        gate, descr = (RX(-np.pi / 2, qubit), "+Y") if pick else (RX(np.pi / 2, qubit), "-Y")
+    elif op == "Z":
+        gate, descr = (I(qubit), "+Z") if pick else (RX(np.pi, qubit), "-Z")
+    else:
+        raise ValueError("Unknown gate operation")
+    circuit += gate
+    return descr
+
+
+def local_pauli_eig_meas(op: str, qubit: int):
+    """Circuit rotating the Pauli eigenbasis onto the Z basis (:276)."""
+    from forest_benchmarking_tpu.circuits import Circuit, RX, RY, I
+    if op == "X":
+        return Circuit([RY(-np.pi / 2, qubit)])
+    if op == "Y":
+        return Circuit([RX(np.pi / 2, qubit)])
+    if op == "Z":
+        return Circuit([I(qubit)])
+    raise ValueError("Unknown gate operation")
+
+
+def prepare_prod_pauli_eigenstate(pauli_term):
+    """Circuit preparing the +1 product eigenstate of the PauliTerm (:293)."""
+    from forest_benchmarking_tpu.circuits import Circuit
+    prog = Circuit()
+    for qubit, op in pauli_term.operations_as_set():
+        prog += local_pauli_eig_prep(op, qubit)
+    return prog
+
+
+def measure_prod_pauli_eigenstate(pauli_term):
+    """Circuit rotating the product eigenbasis onto Z measurements (:307)."""
+    from forest_benchmarking_tpu.circuits import Circuit
+    prog = Circuit()
+    for qubit, op in pauli_term.operations_as_set():
+        prog += local_pauli_eig_meas(op, qubit)
+    return prog
+
+
+def bitstring_prep(qubits, bitstring, append_measure: bool = False,
+                   in_x_basis: bool = False):
+    """Circuit preparing the given bitstring via RX(pi) flips (:506).
+
+    ``append_measure`` is accepted for API parity; measurement is implicit in
+    QVM.run for the in-process simulator.
+    """
+    from forest_benchmarking_tpu.circuits import Circuit, RX, H
+    assert len(qubits) == len(bitstring)
+    program = Circuit()
+    for qubit, bit in zip(qubits, bitstring):
+        if bit:
+            program += RX(np.pi * bit, qubit)
+        if in_x_basis:
+            program += H(qubit)
+    return program
+
+
+def parameterized_bitstring_prep(qubits, bitstring, append_measure: bool = False,
+                                 in_x_basis: bool = False):
+    """Three-gate-per-qubit bitstring prep (reference :461).
+
+    The reference parameterizes the RZ angle at run time on the QPU; in-process
+    there is no run-time parameterization, so this takes the bitstring directly
+    but uses the same RX(pi/2) RZ(pi b) RX(-pi/2) gate pattern.
+    """
+    from forest_benchmarking_tpu.circuits import Circuit, RX, RZ, H
+    program = Circuit()
+    for qubit, bit in zip(qubits, bitstring):
+        program += RX(np.pi / 2, qubit)
+        program += RZ(np.pi * bit, qubit)
+        program += RX(-np.pi / 2, qubit)
+        if in_x_basis:
+            program += H(qubit)
+    return program
+
+
+def metadata_save(qc, repo_path: str = None, filename: str = None):
+    """Save run metadata (date/time, git sha, simulator info) to a DataFrame
+    (reference utils.py:548)."""
+    import pandas as pd
+    from datetime import date, datetime
+    the_repo = the_branch = the_commit = None
+    if repo_path is not None:
+        import subprocess
+        def _git(*args):
+            return subprocess.run(["git", "-C", repo_path, *args],
+                                  capture_output=True, text=True).stdout.strip()
+        the_repo = _git("rev-parse", "--git-dir")
+        the_branch = _git("rev-parse", "--abbrev-ref", "HEAD")
+        the_commit = _git("rev-parse", "--short", "HEAD")
+    metadata = {
+        "Date": [str(date.today())],
+        "Time": [str(datetime.now().time())],
+        "Repository": [the_repo],
+        "Branch": [the_branch],
+        "Git_commit": [the_commit],
+        "Device_name": [getattr(qc, "name", str(qc))],
+    }
+    df = pd.DataFrame(metadata)
+    if filename:
+        df.to_json(filename)
+    return df
