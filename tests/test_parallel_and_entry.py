@@ -1,0 +1,64 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh + graft entry points."""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from forest_benchmarking_tpu.parallel import (
+    make_mesh, shard_batch, replicate, batch_sharded)
+from forest_benchmarking_tpu.benchmarks import (
+    process_tomo_A_matrix, synth_process_datasets, split_complex, join_complex)
+from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_and_replicate():
+    mesh = make_mesh()
+    x = jnp.arange(16.0).reshape(16, 1)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.spec == P("batch", None)
+    a = replicate(mesh, jnp.eye(3))
+    assert a.sharding.spec == P()
+
+
+def test_sharded_pgdb_matches_single_device():
+    mesh = make_mesh()
+    a = jnp.asarray(process_tomo_A_matrix(2))
+    n, chois = synth_process_datasets(jax.random.PRNGKey(0), a, 4, 16, 500,
+                                      dtype=jnp.float64)
+    expected = np.asarray(pgdb_process_estimate_batched(
+        a, n, dim=4, maxiter=8, dyk_iters=20))
+
+    def fn(shared, batched):
+        return pgdb_process_estimate_batched(shared, batched, dim=4,
+                                             maxiter=8, dyk_iters=20)
+
+    sharded_fn = batch_sharded(fn, mesh)
+    a_r = replicate(mesh, a)
+    n_s = shard_batch(mesh, n)
+    out = sharded_fn(a_r, n_s)
+    assert np.allclose(np.asarray(out), expected, atol=1e-12)
+
+
+def test_graft_entry_compiles():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    pf, mean_pf = out
+    assert pf.shape == (64,)
+    assert np.isfinite(float(mean_pf))
+
+
+def test_graft_dryrun_multichip():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)
