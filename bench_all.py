@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Full BASELINE config matrix on the real TPU chip (one JSON line per config).
+
+bench.py remains the single-line headline benchmark (config 2, the north star);
+this harness exercises all five BASELINE.json configs:
+
+  1. 1Q state tomography: linear inversion + MLE from simulated shots
+  2. 2Q process tomography via PGDB MLE (batch of 1k channels)
+  3. RB / unitarity decay fits over 1k random sequences (batched NLS)
+  4. DFE + distance measures for 2Q Cliffords (incl. diamond norm)
+  5. Quantum volume to 8 qubits, heavy-output sim vmapped over circuits
+
+All device entry points keep float-only jit surfaces (axon tunnel constraint).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+sys.path.insert(0, "/root/repo")
+
+from forest_benchmarking_tpu.utils import pauli_basis_matrices
+from forest_benchmarking_tpu.benchmarks import split_complex, join_complex
+from forest_benchmarking_tpu.ops.random_operators import (
+    haar_rand_state, rand_map_with_BCSZ_dist)
+from forest_benchmarking_tpu.ops.superoperator_transformations import (
+    kraus2choi, choi2pauli_liouville)
+from forest_benchmarking_tpu.tomography import (
+    iterative_mle_state_estimate_batched)
+from forest_benchmarking_tpu.analysis.fitting import (
+    fit_model_batched, _base_param_decay_p)
+from forest_benchmarking_tpu.distance_measures import (
+    fidelity, trace_distance, process_fidelity, diamond_norm_distance)
+from forest_benchmarking_tpu.quantum_volume import sample_heavy_outputs_batched
+
+DT = jnp.float32
+
+
+def timed(fn, *args, reps=3):
+    out = fn(*args)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        times.append(time.perf_counter() - t0)
+    return out, min(times)
+
+
+def config1_state_tomo(batch=4096, shots=2000):
+    """1Q state tomography: simulate Pauli shots -> linear inv + MLE, batched."""
+    # keep as NUMPY: numpy constants embed in the program; eager complex device
+    # arrays cannot be fetched for MLIR constants on the axon tunnel
+    obs = pauli_basis_matrices(1)[1:].astype(np.complex64)
+    meas_mat_pinv = np.linalg.pinv(
+        np.conj(np.swapaxes(obs, -1, -2).reshape(3, 4)))
+
+    @jax.jit
+    def step(key):
+        kpsi, kshots = jax.random.split(key)
+        psi = haar_rand_state(kpsi, 2, batch=(batch,), dtype=DT)[..., 0]
+        rho_true = psi[:, :, None] * jnp.conj(psi[:, None, :])
+        exact = jnp.real(jnp.einsum("sij,bji->bs", obs, rho_true))
+        p_plus = (1 + exact) / 2
+        k = jax.random.binomial(kshots, shots, p_plus).astype(DT)
+        e = 2 * k / shots - 1
+        # linear inversion
+        rho_vec = jnp.einsum("as,bs->ba", meas_mat_pinv, e.astype(obs.dtype))
+        rho_lin = jnp.swapaxes(rho_vec.reshape(batch, 2, 2), -1, -2) \
+            + jnp.eye(2, dtype=obs.dtype) / 2
+        # MLE
+        rho_mle = iterative_mle_state_estimate_batched(
+            obs, e, jnp.full((batch,), float(3 * shots)), tol=1e-7,
+            maxiter=2000)
+        f_lin = fidelity(rho_true, rho_lin)
+        f_mle = fidelity(rho_true, rho_mle)
+        return jnp.real(f_lin), jnp.real(f_mle)
+
+    (f_lin, f_mle), dt = timed(step, jax.random.PRNGKey(0))
+    return {
+        "metric": "1q_state_tomography_lininv_plus_mle_throughput",
+        "value": round(batch / dt, 2), "unit": "solves/sec",
+        "vs_baseline": None, "batch": batch,
+        "mean_fidelity_lin": round(float(jnp.mean(f_lin)), 5),
+        "mean_fidelity_mle": round(float(jnp.mean(f_mle)), 5),
+    }
+
+
+def config3_rb_fits(batch=1024, n_depths=8, shots=500):
+    """Batched NLS decay fits over synthetic RB survival data."""
+    depths = jnp.arange(2, 2 + 4 * n_depths, 4, dtype=DT)
+
+    @jax.jit
+    def step(key):
+        kd, kn = jax.random.split(key)
+        decays = jax.random.uniform(kd, (batch,), minval=0.9, maxval=0.995,
+                                    dtype=DT)
+        survivals = 0.5 + 0.5 * decays[:, None] ** depths[None, :]
+        k = jax.random.binomial(kn, shots, survivals).astype(DT)
+        y = k / shots
+        x = jnp.broadcast_to(depths, (batch, n_depths))
+        params, chis, covs = fit_model_batched(
+            _base_param_decay_p, x, y, None, jnp.asarray([0.5, 0.95, 0.5]),
+            num_iters=50)
+        return params[:, 1], decays
+
+    (fit_decays, true_decays), dt = timed(step, jax.random.PRNGKey(1))
+    err = float(jnp.max(jnp.abs(fit_decays - true_decays)))
+    return {
+        "metric": "rb_decay_fit_throughput", "value": round(batch / dt, 2),
+        "unit": "fits/sec", "vs_baseline": None, "batch": batch,
+        "max_decay_error": round(err, 5),
+    }
+
+
+def config4_dfe_distances(batch=1024, dnorm_batch=32):
+    """Distance measures over random 2Q channels + batched diamond norms."""
+    @jax.jit
+    def dist_step(key):
+        k1, k2 = jax.random.split(key)
+        chois1 = rand_map_with_BCSZ_dist(k1, 4, 16, batch=(batch,), dtype=DT)
+        chois2 = rand_map_with_BCSZ_dist(k2, 4, 16, batch=(batch,), dtype=DT)
+        pf = process_fidelity(choi2pauli_liouville(chois1),
+                              choi2pauli_liouville(chois2))
+        td = trace_distance(chois1 / 4, chois2 / 4)
+        return jnp.real(pf), td
+
+    _, dt_dist = timed(dist_step, jax.random.PRNGKey(2))
+
+    @jax.jit
+    def dnorm_step(key):
+        k1, k2 = jax.random.split(key)
+        chois1 = rand_map_with_BCSZ_dist(k1, 2, 4, batch=(dnorm_batch,), dtype=DT)
+        chois2 = rand_map_with_BCSZ_dist(k2, 2, 4, batch=(dnorm_batch,), dtype=DT)
+        return diamond_norm_distance(chois1, chois2)
+
+    dn, dt_dnorm = timed(dnorm_step, jax.random.PRNGKey(3))
+    return {
+        "metric": "channel_distance_throughput",
+        "value": round(batch / dt_dist, 2), "unit": "channel-pairs/sec",
+        "vs_baseline": None, "batch": batch,
+        "diamond_norms_per_sec": round(dnorm_batch / dt_dnorm, 2),
+        "mean_diamond_norm": round(float(jnp.mean(dn)), 4),
+    }
+
+
+def config5_quantum_volume(depth=8, num_circuits=100, shots=1000):
+    """Heavy-output sampling vmapped over circuits at depth 8."""
+    sample = jax.jit(sample_heavy_outputs_batched,
+                     static_argnames=("depth", "num_circuits", "num_shots",
+                                      "dtype"))
+
+    def step(key):
+        return sample(key, depth=depth, num_circuits=num_circuits,
+                      num_shots=shots, dtype=DT)
+
+    num_heavy, dt = timed(step, jax.random.PRNGKey(4))
+    prob = int(num_heavy) / (num_circuits * shots)
+    return {
+        "metric": f"qv_depth{depth}_heavy_output_sim_throughput",
+        "value": round(num_circuits / dt, 2), "unit": "circuits/sec",
+        "vs_baseline": None, "num_circuits": num_circuits,
+        "heavy_output_prob": round(prob, 4),
+        "ideal_asymptote": round((1 + np.log(2)) / 2, 4),
+    }
+
+
+def main():
+    import bench
+    results = [
+        config1_state_tomo(),
+        # config 2 is the headline bench
+        {"metric": "see bench.py (2q PGDB MLE)", "value": None,
+         "unit": "solves/sec", "vs_baseline": None},
+        config3_rb_fits(),
+        config4_dfe_distances(),
+        config5_quantum_volume(),
+    ]
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

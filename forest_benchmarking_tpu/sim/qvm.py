@@ -19,7 +19,50 @@ from forest_benchmarking_tpu.sim.statevector import run_statevector
 from forest_benchmarking_tpu.sim.density import (
     run_density_matrix, density_probabilities, apply_confusion)
 
-__all__ = ["QVM"]
+__all__ = ["QVM", "_symmetrization_patterns"]
+
+
+def _sylvester_hadamard(m: int) -> np.ndarray:
+    """Sylvester Hadamard matrix of order m (m a power of two), entries +-1."""
+    h = np.array([[1]])
+    while h.shape[0] < m:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def _next_pow2(x: int) -> int:
+    m = 1
+    while m < x:
+        m *= 2
+    return m
+
+
+def _symmetrization_patterns(symm_type: int, k: int) -> np.ndarray:
+    """Flip-pattern matrix (n_patterns, k) for readout symmetrization.
+
+    * -1: exhaustive, all 2**k rows.
+    *  1: strength-1 OA — [all zeros; all ones] (2 rows).
+    *  2: strength-2 OA from a Hadamard matrix of order m >= k+1 (m rows):
+         drop the constant column, map +1 -> 0, -1 -> 1.
+    *  3: strength-3 OA from [H; -H] with H of order m >= k (2m rows).
+    """
+    if symm_type == -1:
+        ints = np.arange(2 ** k)
+        shifts = np.arange(k - 1, -1, -1)
+        return (ints[:, None] >> shifts) & 1
+    if symm_type == 1:
+        return np.stack([np.zeros(k, dtype=np.int64),
+                         np.ones(k, dtype=np.int64)])
+    if symm_type == 2:
+        m = _next_pow2(k + 1)
+        h = _sylvester_hadamard(m)
+        return ((1 - h[:, 1:k + 1]) // 2).astype(np.int64)
+    if symm_type == 3:
+        m = _next_pow2(max(k, 2))
+        h = _sylvester_hadamard(m)
+        stacked = np.vstack([h, -h])
+        return ((1 - stacked[:, :k]) // 2).astype(np.int64)
+    raise ValueError(f"Unknown symmetrization type {symm_type}")
 
 
 class QVM:
@@ -142,30 +185,34 @@ class QVM:
     def run_symmetrized_readout(self, circuit: Circuit, num_shots: int,
                                 symm_type: int = -1,
                                 meas_qubits: Sequence[int] = None) -> np.ndarray:
-        """Run with readout symmetrization (exhaustive for symm_type=-1).
+        """Run with readout symmetrization.
 
-        Pre-measurement X flips over all 2**k patterns (k = len(meas_qubits))
-        with shots split evenly; observed bits are XORed with the pattern.
-        symm_type 0 disables symmetrization; OA strengths 1-3 currently fall
-        back to exhaustive (a conservative superset; TODO: orthogonal arrays).
+        Pre-measurement X flips are applied according to the rows of a flip
+        pattern matrix; observed bits are XORed with the pattern. Pattern sets
+        (mirroring pyquil's semantics, reference observable_estimation.py:880):
+
+          * -1 — exhaustive: all 2**k patterns
+          *  0 — none
+          *  1/2/3 — orthogonal array of the given strength (balances flip
+            marginals over every 1/2/3-qubit subset with far fewer patterns)
         """
         meas_qubits = list(meas_qubits)
         if symm_type == 0:
             return self.run(circuit, meas_qubits, num_shots)
         k = len(meas_qubits)
-        n_patterns = 2 ** k
+        patterns = _symmetrization_patterns(symm_type, k)
+        n_patterns = len(patterns)
         base = num_shots // n_patterns
         rem = num_shots - base * n_patterns
         chunks = []
-        for pat in range(n_patterns):
+        for pat, flips in enumerate(patterns):
             shots = base + (1 if pat < rem else 0)
             if shots == 0:
                 continue
-            flips = [(pat >> (k - 1 - i)) & 1 for i in range(k)]
             flipped = circuit.copy()
             for q, f in zip(meas_qubits, flips):
                 if f:
                     flipped += Gate("X", (), (q,))
             bits = self.run(flipped, meas_qubits, shots)
-            chunks.append(bits ^ np.array(flips, dtype=np.int64))
+            chunks.append(bits ^ np.asarray(flips, dtype=np.int64))
         return np.concatenate(chunks, axis=0)

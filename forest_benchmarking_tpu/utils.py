@@ -364,3 +364,19 @@ def metadata_save(qc, repo_path: str = None, filename: str = None):
     if filename:
         df.to_json(filename)
     return df
+
+
+def prepare_all_prod_pauli_eigenstates(pauli_term):
+    """All circuits preparing every product eigenstate of the PauliTerm (:322)."""
+    import itertools
+    from forest_benchmarking_tpu.circuits import Circuit
+    opset = pauli_term.operations_as_set()
+    prod_preps = itertools.product(
+        *[local_pauli_eigs_prep(op, qubit) for qubit, op in opset])
+    out = []
+    for prod in prod_preps:
+        c = Circuit()
+        for p in prod:
+            c += p
+        out.append(c)
+    return out

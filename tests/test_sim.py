@@ -141,3 +141,42 @@ def test_iswap_xy_consistency():
     psi1 = np.asarray(run_statevector(Circuit([X(0), XY(np.pi, 0, 1)]), [0, 1]))
     psi2 = np.asarray(run_statevector(Circuit([X(0), ISWAP(0, 1)]), [0, 1]))
     assert np.allclose(psi1, psi2, atol=1e-12)
+
+
+def test_symmetrization_patterns_properties():
+    from forest_benchmarking_tpu.sim.qvm import _symmetrization_patterns
+    import itertools
+    # exhaustive
+    pats = _symmetrization_patterns(-1, 3)
+    assert pats.shape == (8, 3)
+    # strength 1: each column balanced
+    pats = _symmetrization_patterns(1, 4)
+    assert np.allclose(pats.mean(axis=0), 0.5)
+    # strength 2: every pair of columns sees all 4 combos equally often
+    for k in (2, 3, 5):
+        pats = _symmetrization_patterns(2, k)
+        assert np.allclose(pats.mean(axis=0), 0.5)
+        for i, j in itertools.combinations(range(k), 2):
+            combos = pats[:, i] * 2 + pats[:, j]
+            counts = np.bincount(combos, minlength=4)
+            assert len(set(counts)) == 1, (k, i, j, counts)
+    # strength 3: every triple of columns sees all 8 combos equally often
+    for k in (3, 4):
+        pats = _symmetrization_patterns(3, k)
+        for i, j, l in itertools.combinations(range(k), 3):
+            combos = pats[:, i] * 4 + pats[:, j] * 2 + pats[:, l]
+            counts = np.bincount(combos, minlength=8)
+            assert len(set(counts)) == 1, (k, i, j, l, counts)
+    with pytest.raises(ValueError):
+        _symmetrization_patterns(7, 2)
+
+
+def test_oa_symmetrization_balances_single_qubit_error():
+    # strength-1 OA suffices to symmetrize independent single-qubit readout err
+    qvm = QVM(seed=11)
+    from forest_benchmarking_tpu.circuits import H as HG
+    c = Circuit([HG(0)])
+    c.define_noisy_readout(0, p00=1.0, p11=0.7)
+    symm = qvm.run_symmetrized_readout(c, 40000, symm_type=1,
+                                       meas_qubits=[0]).mean()
+    assert abs(symm - 0.5) < 0.02
