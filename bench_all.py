@@ -111,11 +111,14 @@ def config3_rb_fits(batch=1024, n_depths=8, shots=500):
         return params[:, 1], decays
 
     (fit_decays, true_decays), dt = timed(step, jax.random.PRNGKey(1))
-    err = float(jnp.max(jnp.abs(fit_decays - true_decays)))
+    errs = jnp.abs(fit_decays - true_decays)
+    # note: decays near 1 with shallow depths are weakly identified, so the max
+    # error is statistics-dominated; the mean is the meaningful quality figure
     return {
         "metric": "rb_decay_fit_throughput", "value": round(batch / dt, 2),
         "unit": "fits/sec", "vs_baseline": None, "batch": batch,
-        "max_decay_error": round(err, 5),
+        "mean_decay_error": round(float(jnp.mean(errs)), 5),
+        "max_decay_error": round(float(jnp.max(errs)), 5),
     }
 
 
