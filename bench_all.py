@@ -42,13 +42,13 @@ DT = jnp.float32
 
 
 def timed(fn, *args, reps=3):
-    out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    # time with full host fetches: on the axon tunnel block_until_ready can
+    # return before execution completes on freshly compiled programs
+    out = jax.tree.map(np.asarray, fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        out = jax.tree.map(np.asarray, fn(*args))
         times.append(time.perf_counter() - t0)
     return out, min(times)
 

@@ -25,6 +25,7 @@ from forest_benchmarking_tpu.ops.superoperator_transformations import kraus2choi
 
 __all__ = [
     "proj_choi_to_completely_positive",
+    "proj_choi_to_completely_positive_ns",
     "proj_choi_to_trace_non_increasing",
     "proj_choi_to_trace_preserving",
     "proj_choi_to_physical",
@@ -40,6 +41,35 @@ def proj_choi_to_completely_positive(choi: jnp.ndarray) -> jnp.ndarray:
     evals, v = jnp.linalg.eigh(hermitianize(choi))
     evals = jnp.maximum(evals, 0)
     return (v * evals[..., None, :].astype(v.dtype)) @ dag(v)
+
+
+def _matrix_sign_ns(m: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Matrix sign of a Hermitian matrix by Newton-Schulz iteration.
+
+    X_{k+1} = 1.5 X_k - 0.5 X_k^3, X_0 = M / ||M||_F. Pure batched matmuls —
+    MXU-friendly, no eigendecomposition. Eigenvalues with |lam|/||M||_F below
+    ~1.5^-iters are only partially resolved (they sit near zero and are
+    half-clipped), which is fine inside an iterative projection loop.
+    """
+    s = jnp.sqrt(jnp.sum(jnp.abs(m) ** 2, axis=(-2, -1), keepdims=True))
+    x = m / jnp.maximum(s, jnp.finfo(jnp.real(m).dtype).tiny)
+    for _ in range(iters):
+        x = 1.5 * x - 0.5 * (x @ x @ x)
+    return x
+
+
+def proj_choi_to_completely_positive_ns(choi: jnp.ndarray,
+                                        ns_iters: int = 24) -> jnp.ndarray:
+    """CP projection via the positive part pos(M) = (M + M sign(M)) / 2,
+    with sign(M) from Newton-Schulz — an eigh-free, matmul-only projection.
+
+    Slightly approximate for eigenvalues within ~1.5^-ns_iters of zero;
+    intended for the throughput path of iterative estimators (the exact eigh
+    projection remains the default and the parity path).
+    """
+    h = hermitianize(choi)
+    sign = _matrix_sign_ns(h, ns_iters)
+    return hermitianize((h + h @ sign) / 2)
 
 
 def proj_choi_to_trace_non_increasing(choi: jnp.ndarray) -> jnp.ndarray:
@@ -78,9 +108,12 @@ def _absdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(jnp.sum(jnp.conj(a) * b, axis=(-2, -1)))
 
 
-@partial(jax.jit, static_argnames=("make_trace_preserving", "max_iters"))
+@partial(jax.jit, static_argnames=("make_trace_preserving", "max_iters",
+                                   "cp_method", "ns_iters"))
 def proj_choi_to_physical(choi: jnp.ndarray, make_trace_preserving: bool = True,
-                          tol: float = 1e-4, max_iters: int = 1000) -> jnp.ndarray:
+                          tol: float = 1e-4, max_iters: int = 1000,
+                          cp_method: str = "eigh",
+                          ns_iters: int = 24) -> jnp.ndarray:
     """Dykstra's alternating projection onto CP intersect {TP or TNI}.
 
     Stopping criterion of Birgin & Raydan (see reference :112-135): stop when
@@ -95,6 +128,12 @@ def proj_choi_to_physical(choi: jnp.ndarray, make_trace_preserving: bool = True,
     choi = jnp.asarray(choi)
     proj_tp = (proj_choi_to_trace_preserving if make_trace_preserving
                else proj_choi_to_trace_non_increasing)
+    if cp_method == "eigh":
+        proj_cp = proj_choi_to_completely_positive
+    elif cp_method == "ns":
+        proj_cp = partial(proj_choi_to_completely_positive_ns, ns_iters=ns_iters)
+    else:
+        raise ValueError(f"Unknown cp_method '{cp_method}'")
 
     zeros = jnp.zeros_like(choi)
 
@@ -105,7 +144,7 @@ def proj_choi_to_physical(choi: jnp.ndarray, make_trace_preserving: bool = True,
     def body(carry):
         old_cp_change, old_tp_change, last_cp_proj, last_state, done, it = carry
         pre_cp = last_state - old_cp_change
-        cp_proj = proj_choi_to_completely_positive(pre_cp)
+        cp_proj = proj_cp(pre_cp)
         new_cp_change = cp_proj - pre_cp
 
         pre_tp = cp_proj - old_tp_change

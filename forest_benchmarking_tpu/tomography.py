@@ -386,23 +386,31 @@ def _extract_from_results(results: List[ExperimentResult], qubits: List[int]):
 
 def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool,
                  stop_tol: float, maxiter: int, dyk_tol: float,
-                 dyk_iters: int) -> jnp.ndarray:
+                 dyk_iters: int, cp_method: str = "eigh",
+                 ns_iters: int = 24) -> jnp.ndarray:
     """Single-problem PGD-with-backtracking loop (reference :542-594)."""
     cdtype = a.dtype
     rdtype = jnp.real(a).dtype
     eps = jnp.asarray(1e-6, rdtype)
     nr = n.astype(rdtype)
 
+    # the backtracking line search compares small cost differences, so these
+    # matvecs need full f32 precision explicitly (TPU matmul default is bf16
+    # passes); the rest of the kernel can stay at the ambient precision
+    def _mv(mat, v):
+        return jax.lax.dot_general(mat, v, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
     def cost(est):
-        p = jnp.real(a @ vec(est)[..., 0])
+        p = jnp.real(_mv(a, vec(est)[..., 0]))
         p = jnp.maximum(p, eps)
         return -jnp.sum(nr * jnp.log(p))
 
     def grad_cost(est):
-        p = jnp.real(a @ vec(est)[..., 0])
+        p = jnp.real(_mv(a, vec(est)[..., 0]))
         p = jnp.maximum(p, eps)
         eta = (nr / p).astype(cdtype)
-        return unvec(-(dag(a) @ eta))
+        return unvec(-_mv(dag(a), eta))
 
     est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
     mu = 3.0 / (2 * dim ** 2)
@@ -410,7 +418,8 @@ def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: boo
 
     def proj(x):
         return proj_choi_to_physical(x, make_trace_preserving=trace_preserving,
-                                     tol=dyk_tol, max_iters=dyk_iters)
+                                     tol=dyk_tol, max_iters=dyk_iters,
+                                     cp_method=cp_method, ns_iters=ns_iters)
 
     def backtrack(est, update, gradient, old_cost):
         change0 = gamma * jnp.real(jnp.sum(jnp.conj(update) * gradient))
@@ -446,8 +455,72 @@ def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: boo
     return est
 
 
+def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool,
+                stop_tol: float, maxiter: int, dyk_tol: float,
+                dyk_iters: int, cp_method: str = "eigh",
+                ns_iters: int = 24) -> jnp.ndarray:
+    """Accelerated projected gradient (FISTA with function restart) [APG-QPT].
+
+    Same cost/gradient/projection as PGDB but with Nesterov momentum and a
+    monotone restart, reaching the same likelihood in ~3x fewer iterations
+    (cf. "Superfast maximum likelihood reconstruction", arXiv:1609.07881).
+    No backtracking: the fixed step 1/mu = 2 d^2 / 3 matches the reference's
+    inverse learning rate.
+    """
+    cdtype = a.dtype
+    rdtype = jnp.real(a).dtype
+    eps = jnp.asarray(1e-6, rdtype)
+    nr = n.astype(rdtype)
+
+    def _mv(mat, v):
+        return jax.lax.dot_general(mat, v, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def cost(est):
+        p = jnp.real(_mv(a, vec(est)[..., 0]))
+        p = jnp.maximum(p, eps)
+        return -jnp.sum(nr * jnp.log(p))
+
+    def grad_cost(est):
+        p = jnp.real(_mv(a, vec(est)[..., 0]))
+        p = jnp.maximum(p, eps)
+        eta = (nr / p).astype(cdtype)
+        return unvec(-_mv(dag(a), eta))
+
+    est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
+    mu = 3.0 / (2 * dim ** 2)
+
+    def proj(x):
+        return proj_choi_to_physical(x, make_trace_preserving=trace_preserving,
+                                     tol=dyk_tol, max_iters=dyk_iters,
+                                     cp_method=cp_method, ns_iters=ns_iters)
+
+    def body(carry):
+        est, est_prev, t, old_cost, _, it = carry
+        t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+        beta = ((t - 1) / t_next).astype(cdtype)
+        y = est + beta * (est - est_prev)
+        cand = proj(y - grad_cost(y) / mu)
+        new_cost = cost(cand)
+        # O'Donoghue-Candes function restart: accept the step but reset the
+        # momentum whenever the objective increased (one proj/grad per iter)
+        t_next = jnp.where(new_cost > old_cost, jnp.asarray(1.0, rdtype),
+                           t_next)
+        return (cand, est, t_next, new_cost, old_cost - new_cost, it + 1)
+
+    def cond(carry):
+        _, _, _, _, decrease, it = carry
+        return jnp.logical_and(jnp.abs(decrease) >= stop_tol, it < maxiter)
+
+    init = (est0, est0, jnp.asarray(1.0, rdtype), cost(est0),
+            jnp.asarray(jnp.inf, rdtype), jnp.asarray(0))
+    est, _, _, _, _, _ = lax.while_loop(cond, body, init)
+    return est
+
+
 _pgdb_kernel_jit = jax.jit(_pgdb_kernel, static_argnames=(
-    "dim", "trace_preserving", "stop_tol", "maxiter", "dyk_tol", "dyk_iters"))
+    "dim", "trace_preserving", "stop_tol", "maxiter", "dyk_tol", "dyk_iters",
+    "cp_method", "ns_iters"))
 
 
 def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
@@ -467,20 +540,30 @@ def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
 
 @functools.partial(jax.jit, static_argnames=("dim", "trace_preserving",
                                              "stop_tol", "maxiter", "dyk_tol",
-                                             "dyk_iters"))
+                                             "dyk_iters", "cp_method",
+                                             "ns_iters", "method"))
 def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
                                   trace_preserving: bool = True,
                                   stop_tol: float = 1e-10, maxiter: int = 1000,
                                   dyk_tol: float = 1e-4,
-                                  dyk_iters: int = 1000) -> jnp.ndarray:
+                                  dyk_iters: int = 1000,
+                                  cp_method: str = "eigh",
+                                  ns_iters: int = 24,
+                                  method: str = "pgdb") -> jnp.ndarray:
     """Batched PGDB: (R, d^4) shared A-matrix, (B, R) counts -> (B, d^2, d^2).
 
     This is the BASELINE north-star kernel: thousands of 2Q process-MLE solves
     per dispatch, each with per-problem convergence (vmapped while loops).
     """
-    return jax.vmap(lambda nn: _pgdb_kernel(a, nn, dim, trace_preserving,
-                                            stop_tol, maxiter, dyk_tol,
-                                            dyk_iters))(n)
+    if method == "pgdb":
+        kern = _pgdb_kernel
+    elif method == "apg":
+        kern = _apg_kernel
+    else:
+        raise ValueError(f"Unknown method '{method}'")
+    return jax.vmap(lambda nn: kern(a, nn, dim, trace_preserving,
+                                    stop_tol, maxiter, dyk_tol,
+                                    dyk_iters, cp_method, ns_iters))(n)
 
 
 # ======================================================================

@@ -155,3 +155,47 @@ def test_do_tomography_process():
     pf = float(dm.process_fidelity(choi2pauli_liouville(jnp.asarray(truth)),
                                    choi2pauli_liouville(jnp.asarray(choi))))
     assert pf > 0.95
+
+
+def test_apg_matches_converged_pgdb():
+    """APG (FISTA + function restart) reaches the same MLE optimum as PGDB."""
+    import jax
+    from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
+                                                    synth_process_datasets)
+    from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
+    a = jnp.asarray(process_tomo_A_matrix(2))
+    n, chois = synth_process_datasets(jax.random.PRNGKey(3), a, 4, 4, 1500,
+                                      dtype=jnp.float64)
+    converged = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-12,
+                                              maxiter=3000, dyk_iters=200)
+    apg = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=0.0, maxiter=40,
+                                        dyk_iters=60, method="apg")
+    assert float(jnp.abs(apg - converged).max()) < 2e-4
+
+
+def test_ns_projection_matches_eigh_in_pgdb():
+    import jax
+    from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
+                                                    synth_process_datasets)
+    from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
+    a = jnp.asarray(process_tomo_A_matrix(2))
+    n, _ = synth_process_datasets(jax.random.PRNGKey(4), a, 4, 2, 1000,
+                                  dtype=jnp.float64)
+    eigh_est = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-8,
+                                             maxiter=40, dyk_iters=60)
+    ns_est = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-8,
+                                           maxiter=40, dyk_iters=60,
+                                           cp_method="ns", ns_iters=24)
+    assert float(jnp.abs(eigh_est - ns_est).max()) < 1e-3
+
+
+def test_unknown_method_raises():
+    import jax
+    from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
+                                                    synth_process_datasets)
+    from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
+    a = jnp.asarray(process_tomo_A_matrix(2))
+    n, _ = synth_process_datasets(jax.random.PRNGKey(5), a, 4, 1, 100,
+                                  dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        pgdb_process_estimate_batched(a, n, dim=4, method="banana")

@@ -166,3 +166,27 @@ def test_project_state_matrix_batched():
     batched = np.asarray(project_state_matrix_to_physical(jnp.asarray(hs)))
     looped = np.stack([np_wizard_reference(h) for h in hs])
     assert np.max(np.abs(batched - looped)) < 1e-10
+
+
+def test_ns_cp_projection_matches_eigh():
+    from forest_benchmarking_tpu.ops import proj_choi_to_completely_positive
+    from forest_benchmarking_tpu.ops.project_superoperators import (
+        proj_choi_to_completely_positive_ns)
+    rng = np.random.RandomState(3)
+    h = rng.randn(6, 16, 16) + 1j * rng.randn(6, 16, 16)
+    h = (h + h.conj().transpose(0, 2, 1)) / 2
+    exact = np.asarray(proj_choi_to_completely_positive(jnp.asarray(h)))
+    approx = np.asarray(proj_choi_to_completely_positive_ns(jnp.asarray(h), 24))
+    assert np.max(np.abs(exact - approx)) < 1e-10
+
+
+def test_proj_physical_ns_method():
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 4) + 1j * rng.randn(4, 4)
+    noisy = (base + base.conj().T) / 2 + np.eye(4)
+    eigh_out = np.asarray(proj_choi_to_physical(jnp.asarray(noisy)))
+    ns_out = np.asarray(proj_choi_to_physical(jnp.asarray(noisy),
+                                              cp_method="ns", ns_iters=30))
+    assert np.max(np.abs(eigh_out - ns_out)) < 1e-6
+    with pytest.raises(ValueError):
+        proj_choi_to_physical(jnp.asarray(noisy), cp_method="banana")
