@@ -54,7 +54,10 @@ def timed(fn, *args, reps=3):
 
 
 def config1_state_tomo(batch=4096, shots=2000):
-    """1Q state tomography: simulate Pauli shots -> linear inv + MLE, batched."""
+    """1Q state tomography: simulate Pauli shots -> linear inv + MLE, batched.
+
+    Data are pre-generated; the timed region is the two estimators only.
+    """
     # keep as NUMPY: numpy constants embed in the program; eager complex device
     # arrays cannot be fetched for MLIR constants on the axon tunnel
     obs = pauli_basis_matrices(1)[1:].astype(np.complex64)
@@ -62,7 +65,7 @@ def config1_state_tomo(batch=4096, shots=2000):
         np.conj(np.swapaxes(obs, -1, -2).reshape(3, 4)))
 
     @jax.jit
-    def step(key):
+    def gen(key):
         kpsi, kshots = jax.random.split(key)
         psi = haar_rand_state(kpsi, 2, batch=(batch,), dtype=DT)[..., 0]
         rho_true = psi[:, :, None] * jnp.conj(psi[:, None, :])
@@ -70,11 +73,18 @@ def config1_state_tomo(batch=4096, shots=2000):
         p_plus = (1 + exact) / 2
         k = jax.random.binomial(kshots, shots, p_plus).astype(DT)
         e = 2 * k / shots - 1
-        # linear inversion
+        return e, jnp.stack([jnp.real(rho_true), jnp.imag(rho_true)])
+
+    e, rho_ri = gen(jax.random.PRNGKey(0))
+    e = jnp.asarray(np.asarray(e))
+    rho_ri = jnp.asarray(np.asarray(rho_ri))
+
+    @jax.jit
+    def step(e, rho_ri):
+        rho_true = join_complex(rho_ri)
         rho_vec = jnp.einsum("as,bs->ba", meas_mat_pinv, e.astype(obs.dtype))
         rho_lin = jnp.swapaxes(rho_vec.reshape(batch, 2, 2), -1, -2) \
             + jnp.eye(2, dtype=obs.dtype) / 2
-        # MLE
         rho_mle = iterative_mle_state_estimate_batched(
             obs, e, jnp.full((batch,), float(3 * shots)), tol=1e-7,
             maxiter=2000)
@@ -82,7 +92,7 @@ def config1_state_tomo(batch=4096, shots=2000):
         f_mle = fidelity(rho_true, rho_mle)
         return jnp.real(f_lin), jnp.real(f_mle)
 
-    (f_lin, f_mle), dt = timed(step, jax.random.PRNGKey(0))
+    (f_lin, f_mle), dt = timed(step, e, rho_ri)
     return {
         "metric": "1q_state_tomography_lininv_plus_mle_throughput",
         "value": round(batch / dt, 2), "unit": "solves/sec",
@@ -97,20 +107,27 @@ def config3_rb_fits(batch=1024, n_depths=8, shots=500):
     depths = jnp.arange(2, 2 + 4 * n_depths, 4, dtype=DT)
 
     @jax.jit
-    def step(key):
+    def gen(key):
         kd, kn = jax.random.split(key)
         decays = jax.random.uniform(kd, (batch,), minval=0.9, maxval=0.995,
                                     dtype=DT)
         survivals = 0.5 + 0.5 * decays[:, None] ** depths[None, :]
         k = jax.random.binomial(kn, shots, survivals).astype(DT)
-        y = k / shots
+        return k / shots, decays
+
+    y, true_decays = gen(jax.random.PRNGKey(1))
+    y = jnp.asarray(np.asarray(y))
+    true_decays = jnp.asarray(np.asarray(true_decays))
+
+    @jax.jit
+    def step(y):
         x = jnp.broadcast_to(depths, (batch, n_depths))
         params, chis, covs = fit_model_batched(
             _base_param_decay_p, x, y, None, jnp.asarray([0.5, 0.95, 0.5]),
             num_iters=50)
-        return params[:, 1], decays
+        return params[:, 1]
 
-    (fit_decays, true_decays), dt = timed(step, jax.random.PRNGKey(1))
+    fit_decays, dt = timed(step, y)
     errs = jnp.abs(fit_decays - true_decays)
     # note: decays near 1 with shallow depths are weakly identified, so the max
     # error is statistics-dominated; the mean is the meaningful quality figure

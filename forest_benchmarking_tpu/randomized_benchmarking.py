@@ -43,6 +43,8 @@ __all__ = [
     "coherence_angle", "gamma", "interleaved_gate_fidelity_bounds",
     "gate_error_to_irb_decay", "irb_decay_to_gate_error",
     "average_gate_error_to_rb_decay", "rb_decay_to_gate_error",
+    "unitary_to_ptm_np", "circuit_unitary_np", "sequences_to_ptm_stack",
+    "simulate_rb_survival_batched",
 ]
 
 
@@ -400,3 +402,109 @@ def average_gate_error_to_rb_decay(gate_error: float, dimension: int):
 def rb_decay_to_gate_error(rb_decay: float, dimension: int):
     """Eq. 5 of [RB]: average Clifford error from the decay."""
     return 1 - rb_decay - (1 - rb_decay) / dimension
+
+
+# ----------------------- batched on-device RB pipeline -----------------------
+
+def unitary_to_ptm_np(u: np.ndarray) -> np.ndarray:
+    """Pauli transfer matrix of a unitary, in pure numpy (host-side)."""
+    from forest_benchmarking_tpu.ops.superoperator_transformations import _p2c_np
+    d = u.shape[0]
+    p2c = _p2c_np(d)
+    c2p = p2c.conj().T / d
+    superop = np.kron(u.conj(), u)
+    return np.real(c2p @ superop @ c2p.conj().T * d)
+
+
+def circuit_unitary_np(circuit: Circuit, qubits: Sequence[int]) -> np.ndarray:
+    """Dense unitary of a circuit, in pure numpy (host-side)."""
+    from forest_benchmarking_tpu.sim.density import _lift
+    import jax.numpy as jnp  # _lift is jnp-based but tiny; evaluate via numpy
+    n = len(qubits)
+    pos = {q: i for i, q in enumerate(qubits)}
+    d = 2 ** n
+    u = np.eye(d, dtype=complex)
+    for gate in circuit.gates:
+        g = gate.get_matrix()
+        # lift with numpy kron + axis permutation
+        k = len(gate.qubits)
+        axes = [pos[q] for q in gate.qubits]
+        rest = [i for i in range(n) if i not in axes]
+        perm = list(axes) + rest
+        full = np.kron(g, np.eye(2 ** (n - k), dtype=complex))
+        t = full.reshape((2,) * (2 * n))
+        inv = np.argsort(perm)
+        t = np.transpose(t, list(inv) + [n + i for i in inv])
+        u = t.reshape(d, d) @ u
+    return u
+
+
+def sequences_to_ptm_stack(sequences: List[List[Circuit]],
+                           qubits: Sequence[int]) -> np.ndarray:
+    """Stack RB sequences as padded PTMs: (n_seq, max_len, d^2, d^2) float.
+
+    Shorter sequences are padded with identity PTMs so the whole experiment is
+    one rectangular array for the batched simulator.
+    """
+    d2 = 4 ** len(qubits)
+    max_len = max(len(seq) for seq in sequences)
+    out = np.tile(np.eye(d2, dtype=np.float64),
+                  (len(sequences), max_len, 1, 1))
+    lengths = np.array([len(seq) for seq in sequences])
+    for i, seq in enumerate(sequences):
+        for j, circ in enumerate(seq):
+            out[i, j] = unitary_to_ptm_np(circuit_unitary_np(circ, qubits))
+    return out, lengths
+
+
+def simulate_rb_survival_batched(ptms, noise_ptm=None, key=None,
+                                 num_shots: int = 0, dtype=None,
+                                 lengths=None):
+    """Simulate every RB sequence in one dispatch via PTM composition.
+
+    :param ptms: (S, L, d^2, d^2) stacked sequence PTMs (see
+        sequences_to_ptm_stack). Each sequence is applied left-to-right with
+        ``noise_ptm`` (if given) applied after every element — the standard
+        'noise per Clifford' RB model.
+    :param lengths: (S,) true sequence lengths; identity padding beyond a
+        sequence's length receives no noise. Default: all of L.
+    :param key: if given with num_shots > 0, binomially sample survival
+        estimates; otherwise return exact survival probabilities.
+    :return: (S,) survival probabilities (exact or sampled).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    ptms = jnp.asarray(ptms) if dtype is None else jnp.asarray(ptms, dtype)
+    s, length, d2, _ = ptms.shape
+    d = int(np.sqrt(d2))
+    n = int(np.log2(d))
+    noise = (jnp.eye(d2, dtype=ptms.dtype) if noise_ptm is None
+             else jnp.asarray(noise_ptm, ptms.dtype))
+    if lengths is None:
+        lengths = jnp.full((s,), length)
+    lengths = jnp.asarray(lengths)
+
+    # PL coordinates of |0..0><0..0|: 1 on every I/Z product string
+    from forest_benchmarking_tpu.utils import pauli_label_strings
+    labels = pauli_label_strings(n)
+    iz_mask = np.array([all(c in "IZ" for c in lab) for lab in labels])
+    r0 = jnp.asarray(iz_mask.astype(np.float64), ptms.dtype)
+
+    def evolve(rseq, slen):
+        def body(carry, m):
+            r, j = carry
+            r_next = jnp.where(j < slen, noise @ (m @ r), r)
+            return (r_next, j + 1), None
+        (r, _), _ = lax.scan(body, (r0, jnp.asarray(0)), rseq)
+        return r
+
+    r_final = jax.vmap(evolve)(ptms, lengths)  # (S, d2)
+    # p(0..0) = (1/d) sum over I/Z strings of the PL coordinates
+    survival = jnp.sum(r_final * jnp.asarray(iz_mask, ptms.dtype), axis=-1) / d
+    if key is None or num_shots == 0:
+        return survival
+    k = jax.random.binomial(key, num_shots,
+                            jnp.clip(survival, 0.0, 1.0)).astype(ptms.dtype)
+    return k / num_shots

@@ -191,3 +191,48 @@ def test_do_rb_end_to_end():
     for res_group in results:
         for res in res_group:
             assert res.expectation > 0.9
+
+
+def test_batched_rb_simulator_noiseless_and_noisy():
+    """PTM-composition RB simulator: exact survivals + recovered decay."""
+    import jax
+    import jax.numpy as jnp
+    from forest_benchmarking_tpu.randomized_benchmarking import (
+        sequences_to_ptm_stack, simulate_rb_survival_batched, unitary_to_ptm_np,
+        circuit_unitary_np, generate_rb_experiment_sequences, fit_rb_results)
+
+    qubits = (0,)
+    depths = [d for d in [2, 6, 10, 16] for _ in range(6)]
+    sequences = generate_rb_experiment_sequences(qubits, depths, random_seed=11)
+    ptms, lengths = sequences_to_ptm_stack(sequences, qubits)
+
+    # noiseless: every sequence composes to the identity -> survival 1
+    surv = np.asarray(simulate_rb_survival_batched(ptms, lengths=lengths))
+    assert np.allclose(surv, 1.0, atol=1e-10)
+
+    # exact (shot-free) survivals decay exactly as (1-p)^depth (+ baseline)
+    p = 0.1
+    noise_ptm = np.diag([1.0, 1 - p, 1 - p, 1 - p])
+    surv_exact = np.asarray(simulate_rb_survival_batched(ptms, noise_ptm, lengths=lengths))
+    for depth, s in zip(depths, surv_exact):
+        expected = 0.5 + 0.5 * (1 - p) ** depth
+        assert abs(s - expected) < 1e-10, (depth, s, expected)
+
+    # depolarizing noise per Clifford with sampling: decay ~ 1 - p
+    surv = np.asarray(simulate_rb_survival_batched(
+        ptms, noise_ptm, key=jax.random.PRNGKey(0), num_shots=5000,
+        lengths=lengths))
+    fit = fit_rb_results(depths, [[2 * s - 1] for s in surv],
+                         [[0.01] for _ in surv])
+    assert abs(fit.params["decay"].value - (1 - p)) < 0.02
+
+
+def test_circuit_unitary_np_matches_sim():
+    from forest_benchmarking_tpu.randomized_benchmarking import circuit_unitary_np
+    from forest_benchmarking_tpu.sim.statevector import run_statevector
+    from forest_benchmarking_tpu.circuits import Circuit, H, CNOT, RZ, X
+    c = Circuit([H(0), CNOT(0, 1), RZ(0.3, 1)])
+    u = circuit_unitary_np(c, [0, 1])
+    psi = np.asarray(run_statevector(c, [0, 1]))
+    assert np.allclose(u[:, 0], psi, atol=1e-12)
+    assert np.allclose(u @ u.conj().T, np.eye(4), atol=1e-12)
