@@ -155,9 +155,10 @@ def config4_dfe_distances(batch=1024, dnorm_batch=32):
 
     @jax.jit
     def dnorm_step(key):
+        # 2Q channels (16x16 Choi), per BASELINE config 4
         k1, k2 = jax.random.split(key)
-        chois1 = rand_map_with_BCSZ_dist(k1, 2, 4, batch=(dnorm_batch,), dtype=DT)
-        chois2 = rand_map_with_BCSZ_dist(k2, 2, 4, batch=(dnorm_batch,), dtype=DT)
+        chois1 = rand_map_with_BCSZ_dist(k1, 4, 16, batch=(dnorm_batch,), dtype=DT)
+        chois2 = rand_map_with_BCSZ_dist(k2, 4, 16, batch=(dnorm_batch,), dtype=DT)
         return diamond_norm_distance(chois1, chois2)
 
     dn, dt_dnorm = timed(dnorm_step, jax.random.PRNGKey(3))

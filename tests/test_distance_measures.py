@@ -160,3 +160,17 @@ def test_batched_state_measures():
     tb = np.asarray(dm.trace_distance(rhos, sigmas))
     tl = np.array([float(dm.trace_distance(r, s)) for r, s in zip(rhos, sigmas)])
     assert np.allclose(tb, tl, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_diamond_norm_2q_cphase():
+    # 2Q unitaries I vs CPHASE(theta): eigenvalues of U^dag V are {1,1,1,e^it};
+    # diamond distance = 2 sin(theta/2) (hull distance formula for unitaries)
+    from forest_benchmarking_tpu.circuits import gate_matrix
+    theta = 1.1
+    u = np.eye(4, dtype=complex)
+    v = gate_matrix("CPHASE", (theta,))
+    dn = float(dm.diamond_norm_distance(kraus2choi(jnp.asarray(u)[None]),
+                                        kraus2choi(jnp.asarray(v)[None]),
+                                        num_iters=600))
+    assert np.isclose(dn, 2 * np.sin(theta / 2), atol=2e-2), dn
