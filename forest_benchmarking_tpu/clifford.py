@@ -28,7 +28,8 @@ from forest_benchmarking_tpu.paulis import PauliTerm
 
 __all__ = ["PauliBits", "CliffordTableau", "pauli_to_bits", "bits_to_pauli",
            "clifford_group", "random_clifford_circuits", "clifford_circuit_to_tableau",
-           "apply_clifford_to_pauli", "generate_rb_sequence", "CLIFFORD_GROUP_SIZES"]
+           "apply_clifford_to_pauli", "generate_rb_sequence", "CLIFFORD_GROUP_SIZES",
+           "synthesize_circuit", "random_clifford_tableau"]
 
 CLIFFORD_GROUP_SIZES = {1: 24, 2: 11520}
 
@@ -344,14 +345,22 @@ def _word_to_circuit(word, qubits: Sequence[int]) -> Circuit:
 def random_clifford_circuits(qubits: Sequence[int], count: int,
                              rng: Optional[np.random.RandomState] = None) \
         -> Tuple[List[Circuit], List[CliffordTableau]]:
-    """Sample exact-uniform random Cliffords as circuits + tableaus."""
+    """Sample exact-uniform random Cliffords as circuits + tableaus (any n).
+
+    n <= 2 uses the enumerated groups (word-table circuits); larger n samples
+    uniform tableaus over F2 constraint spaces and synthesizes circuits.
+    """
     if rng is None:
         rng = np.random
     n = len(qubits)
-    elements, words, _ = clifford_group(n)
-    idxs = rng.randint(len(elements), size=count)
-    circuits = [_word_to_circuit(words[i], qubits) for i in idxs]
-    return circuits, [elements[i] for i in idxs]
+    if n in CLIFFORD_GROUP_SIZES:
+        elements, words, _ = clifford_group(n)
+        idxs = rng.randint(len(elements), size=count)
+        circuits = [_word_to_circuit(words[i], qubits) for i in idxs]
+        return circuits, [elements[i] for i in idxs]
+    tabs = [random_clifford_tableau(n, rng) for _ in range(count)]
+    circuits = [synthesize_circuit(t, qubits) for t in tabs]
+    return circuits, tabs
 
 
 def _inverse_circuit_of(tableau: CliffordTableau, qubits: Sequence[int]) -> Circuit:
@@ -404,9 +413,199 @@ def generate_rb_sequence(qubits: Sequence[int], depth: int,
             seq.append(interleaved_gate)
             total = total.then(inter_tab)
     # the closing element is the inverse of everything so far
-    inv_elements, inv_words, index = clifford_group(n)
-    # find group element equal to `total` to invert via word lookup
-    seq.append(_inverse_circuit_of(total, qubits))
+    if n in CLIFFORD_GROUP_SIZES:
+        seq.append(_inverse_circuit_of(total, qubits))  # word-table lookup
+    else:
+        # synthesize a circuit for `total` and invert it
+        seq.append(synthesize_circuit(total, qubits).dagger())
     if use_basic_compile:
         seq = [basic_compile(c) for c in seq]
     return seq
+
+
+# ----------------------- general-n synthesis & sampling ----------------------
+
+_RX_WORD = (("H",), ("S",), ("H",))  # conjugation: X->X, Y->Z, Z->-Y
+
+
+def _apply_named(tab: CliffordTableau, name: str, qs: Tuple[int, ...],
+                 word: list) -> CliffordTableau:
+    """Compose ``tab`` with a named gate and record it in ``word``."""
+    word.append((name, qs))
+    return tab.then(_gate_tableau(name if name != "SDG" else "SDG", qs, tab.n))
+
+
+def synthesize_circuit(tableau: CliffordTableau,
+                       qubits: Sequence[int]) -> Circuit:
+    """Synthesize an H/S/CZ/CNOT/SWAP circuit realizing the tableau (any n).
+
+    Column-by-column reduction: compose elementary gates until the tableau is
+    the identity, then emit the inverse word reversed. Verified against the
+    enumerated 1Q/2Q groups and random n-qubit gate products in tests.
+    """
+    n = tableau.n
+    t = CliffordTableau(list(tableau.images), n)
+    word: list = []
+
+    for k in range(n):
+        # ---- fix image of X_k to exactly X_k ----
+        p = t.images[k]
+        if not any(p.x):
+            # pure-Z image: H on some support qubit converts Z->X there
+            j = next(i for i in range(n) if p.z[i])
+            t = _apply_named(t, "H", (j,), word)
+            p = t.images[k]
+        if not p.x[k]:
+            j = next(i for i in range(k, n) if p.x[i]) \
+                if any(p.x[k:]) else next(i for i in range(n) if p.x[i])
+            t = _apply_named(t, "SWAP", (k, j), word)
+            p = t.images[k]
+        # clear the k-th z bit first (Y_k -> X_k) via S^dag
+        if p.z[k]:
+            t = _apply_named(t, "SDG", (k,), word)
+            p = t.images[k]
+        # clear other x bits with CNOT(k, j): X_k X_j -> X_k
+        for j in range(n):
+            if j != k and p.x[j]:
+                # if the j component is Y, make it X first
+                if p.z[j]:
+                    t = _apply_named(t, "SDG", (j,), word)
+                t = _apply_named(t, "CNOT", (k, j), word)
+        p = t.images[k]
+        # clear remaining z bits with CZ(k, j): X_k Z_j -> X_k
+        for j in range(n):
+            if j != k and p.z[j]:
+                t = _apply_named(t, "CZ", (k, j), word)
+        p = t.images[k]
+        if p.z[k]:  # may have reappeared; S^dag again
+            t = _apply_named(t, "SDG", (k,), word)
+            p = t.images[k]
+        if p.phase % 4 == 2:  # -X_k -> X_k via Z_k
+            t = _apply_named(t, "Z", (k,), word)
+
+        # ---- fix image of Z_k to exactly Z_k (without disturbing X_k) ----
+        q = t.images[n + k]
+        # clear x bits on j != k using H_j (+ SDG_j for Y); H_j acts off qubit k
+        for j in range(n):
+            if j != k and q.x[j]:
+                if q.z[j]:
+                    t = _apply_named(t, "SDG", (j,), word)
+                t = _apply_named(t, "H", (j,), word)
+        q = t.images[n + k]
+        # clear x_k (Y_k component) with the RX word: fixes X_k, maps Y_k -> Z_k
+        if q.x[k]:
+            for g in _RX_WORD:
+                t = _apply_named(t, g[0], (k,), word)
+            q = t.images[n + k]
+        # clear z bits on j != k with CNOT(j, k): Z_k Z_j -> Z_k, fixes X_k
+        for j in range(n):
+            if j != k and q.z[j]:
+                t = _apply_named(t, "CNOT", (j, k), word)
+        q = t.images[n + k]
+        if q.phase % 4 == 2:  # -Z_k -> Z_k via X_k (fixes X_k)
+            t = _apply_named(t, "X", (k,), word)
+
+    assert t == CliffordTableau.identity(n), "synthesis failed to reduce"
+
+    # T.then(g1)...(gm) = I  =>  U_T = U_{g1}^-1 ... U_{gm}^-1, so the circuit
+    # (time order) is gm^-1, ..., g1^-1
+    gates = []
+    for name, pos in reversed(word):
+        qs = tuple(qubits[p] for p in pos)
+        if name == "S":
+            gates.append(Gate("S", (), qs, dagger=True))
+        elif name == "SDG":
+            gates.append(Gate("S", (), qs))
+        else:  # H, CZ, CNOT, SWAP, X, Z are self-inverse
+            gates.append(Gate(name, (), qs))
+    return Circuit(gates)
+
+
+def _symplectic_product(a: PauliBits, b: PauliBits) -> int:
+    """0 if the Paulis commute, 1 if they anticommute."""
+    s = sum(ax & bz for ax, bz in zip(a.x, b.z))
+    s += sum(az & bx for az, bx in zip(a.z, b.x))
+    return s % 2
+
+
+def _sample_pauli_with_constraints(n: int, constraints, parities,
+                                   rng) -> PauliBits:
+    """Uniform random Pauli v in F2^{2n} with <v, c_i> = parity_i for all i.
+
+    The symplectic product with a constraint (cx, cz) is v.x*cz + v.z*cx; solve
+    the linear system over F2 by elimination and randomize the free variables.
+    Rejects v = 0 (resamples).
+    """
+    m = len(constraints)
+    # build constraint matrix acting on v = (x bits | z bits)
+    rows = np.zeros((m, 2 * n), dtype=np.int64)
+    rhs = np.array(parities, dtype=np.int64) % 2
+    for i, c in enumerate(constraints):
+        rows[i, :n] = c.z  # pairs with v.x
+        rows[i, n:] = c.x  # pairs with v.z
+    while True:
+        # Gaussian elimination to row echelon form
+        a = rows.copy()
+        b = rhs.copy()
+        pivots = []
+        r = 0
+        for col in range(2 * n):
+            piv = None
+            for rr in range(r, m):
+                if a[rr, col]:
+                    piv = rr
+                    break
+            if piv is None:
+                continue
+            a[[r, piv]] = a[[piv, r]]
+            b[[r, piv]] = b[[piv, r]]
+            for rr in range(m):
+                if rr != r and a[rr, col]:
+                    a[rr] ^= a[r]
+                    b[rr] ^= b[r]
+            pivots.append(col)
+            r += 1
+            if r == m:
+                break
+        # (constraints are independent by construction; solvable)
+        free_cols = [c for c in range(2 * n) if c not in pivots]
+        v = np.zeros(2 * n, dtype=np.int64)
+        v[free_cols] = rng.randint(2, size=len(free_cols))
+        for i in range(len(pivots) - 1, -1, -1):
+            col = pivots[i]
+            v[col] = (b[i] ^ (a[i] @ v % 2) ^ (a[i, col] & v[col])) % 2
+        if v.any():
+            # Hermitian Pauli: i^phase X^x Z^z requires phase = (#Y) mod 2,
+            # plus a uniform sign (adding 2)
+            y_count = int(np.sum(v[:n] & v[n:]))
+            phase = (y_count % 2) + 2 * rng.randint(2)
+            return _pb(v[:n], v[n:], phase)
+
+
+def random_clifford_tableau(n: int,
+                            rng: Optional[np.random.RandomState] = None) \
+        -> CliffordTableau:
+    """Uniform random n-qubit Clifford tableau (any n).
+
+    Sample the generator images pair by pair: each X_k image is uniform over
+    Paulis commuting with all previously fixed images, each Z_k image uniform
+    over those additionally anticommuting with the X_k image; signs uniform.
+    The count of valid choices per step is history-independent, so the overall
+    distribution is exactly uniform over the group.
+    """
+    if rng is None:
+        rng = np.random
+    ximgs = []
+    zimgs = []
+    for k in range(n):
+        constraints = []
+        parities = []
+        for j in range(k):
+            constraints += [ximgs[j], zimgs[j]]
+            parities += [0, 0]
+        xk = _sample_pauli_with_constraints(n, constraints, parities, rng)
+        zk = _sample_pauli_with_constraints(n, constraints + [xk],
+                                            parities + [1], rng)
+        ximgs.append(xk)
+        zimgs.append(zk)
+    return CliffordTableau(ximgs + zimgs, n)

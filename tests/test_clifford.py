@@ -157,3 +157,84 @@ def test_known_conjugations():
     # CNOT: X_c -> X_c X_t
     out = apply_clifford_to_pauli(Circuit([CNOT(0, 1)]), sX(0), [0, 1])
     assert out == sX(0) * sX(1)
+
+
+# ------------------------- general-n synthesis & sampling --------------------
+
+def test_synthesis_round_trip_1q_2q_groups():
+    from forest_benchmarking_tpu.clifford import synthesize_circuit
+    for n in (1, 2):
+        elements, words, _ = clifford_group(n)
+        rng = np.random.RandomState(n)
+        idxs = rng.randint(len(elements), size=40)
+        for i in idxs:
+            circ = synthesize_circuit(elements[i], list(range(n)))
+            assert clifford_circuit_to_tableau(circ, list(range(n))) == elements[i]
+
+
+def test_synthesis_round_trip_3q_random_products():
+    from forest_benchmarking_tpu.clifford import synthesize_circuit
+    rng = np.random.RandomState(0)
+    gates = ["H", "S", "CZ", "CNOT", "SWAP", "X", "Z"]
+    for trial in range(20):
+        c = Circuit()
+        for _ in range(12):
+            name = gates[rng.randint(len(gates))]
+            if name in ("H", "S", "X", "Z"):
+                c += Gate(name, (), (int(rng.randint(3)),))
+            else:
+                a, b = rng.choice(3, size=2, replace=False)
+                c += Gate(name, (), (int(a), int(b)))
+        tab = clifford_circuit_to_tableau(c, [0, 1, 2])
+        circ = synthesize_circuit(tab, [0, 1, 2])
+        assert clifford_circuit_to_tableau(circ, [0, 1, 2]) == tab, trial
+
+
+def test_random_clifford_tableau_valid_and_uniformish():
+    from forest_benchmarking_tpu.clifford import (random_clifford_tableau,
+                                                  _symplectic_product)
+    rng = np.random.RandomState(1)
+    # validity: images preserve the symplectic form
+    for n in (1, 2, 3, 4):
+        t = random_clifford_tableau(n, rng)
+        for i in range(n):
+            for j in range(n):
+                xi, zj = t.images[i], t.images[n + j]
+                assert _symplectic_product(xi, zj) == (1 if i == j else 0)
+                assert _symplectic_product(t.images[i], t.images[j]) == 0
+                assert _symplectic_product(t.images[n + i], t.images[n + j]) == 0
+    # uniformity on n=1: all 24 elements appear with ~equal frequency
+    counts = {}
+    for _ in range(2400):
+        t = random_clifford_tableau(1, rng)
+        counts[t.key()] = counts.get(t.key(), 0) + 1
+    assert len(counts) == 24
+    freqs = np.array(list(counts.values()))
+    assert freqs.min() > 50  # expected 100 each; loose 5-sigma-ish bound
+
+
+def test_random_clifford_2q_covers_group():
+    from forest_benchmarking_tpu.clifford import random_clifford_tableau
+    elements, _, index = clifford_group(2)
+    rng = np.random.RandomState(2)
+    seen = set()
+    for _ in range(300):
+        t = random_clifford_tableau(2, rng)
+        assert t.key() in index  # every sample is a genuine group element
+        seen.add(t.key())
+    assert len(seen) > 290  # 11520 elements: collisions unlikely
+
+
+def test_3q_rb_sequence_composes_to_identity():
+    rng = np.random.RandomState(3)
+    qubits = [0, 1, 2]
+    for depth in (2, 4):
+        seq = generate_rb_sequence(qubits, depth, rng=rng,
+                                   use_basic_compile=False)
+        assert len(seq) == depth
+        total = Circuit()
+        for c in seq:
+            total += c
+        u = circuit_unitary(total, qubits)
+        phase = u[0, 0] / abs(u[0, 0])
+        assert np.allclose(u / phase, np.eye(8), atol=1e-9)
