@@ -25,11 +25,11 @@ jax.config.update("jax_default_matmul_precision", "highest")
 sys.path.insert(0, "/root/repo")
 
 from forest_benchmarking_tpu.utils import pauli_basis_matrices
-from forest_benchmarking_tpu.benchmarks import split_complex, join_complex
+from forest_benchmarking_tpu.benchmarks import join_complex
 from forest_benchmarking_tpu.ops.random_operators import (
     haar_rand_state, rand_map_with_BCSZ_dist)
 from forest_benchmarking_tpu.ops.superoperator_transformations import (
-    kraus2choi, choi2pauli_liouville)
+    choi2pauli_liouville)
 from forest_benchmarking_tpu.tomography import (
     iterative_mle_state_estimate_batched)
 from forest_benchmarking_tpu.analysis.fitting import (
@@ -193,7 +193,6 @@ def config5_quantum_volume(depth=8, num_circuits=100, shots=1000):
 
 
 def main():
-    import bench
     results = [
         config1_state_tomo(),
         # config 2 is the headline bench

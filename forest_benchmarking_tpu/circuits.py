@@ -13,7 +13,7 @@ readout confusion matrix (the analog of PRAGMA READOUT-POVM).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

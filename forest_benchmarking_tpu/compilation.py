@@ -13,7 +13,7 @@ from typing import Tuple
 
 import numpy as np
 
-from forest_benchmarking_tpu.circuits import Circuit, Gate, RX, RZ, CZ, XY, I
+from forest_benchmarking_tpu.circuits import Circuit, RX, RZ, CZ, XY, I
 
 __all__ = ["match_global_phase", "_RY", "_RX", "_X", "_H", "_CNOT", "_T",
            "_SWAP", "_CCNOT", "is_magic_angle", "basic_compile"]

@@ -22,13 +22,13 @@ import warnings
 from dataclasses import dataclass
 from json import JSONEncoder
 from math import pi
-from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 from scipy.stats import beta as beta_dist
 
 from forest_benchmarking_tpu.circuits import Circuit, Gate, RX, RY, RZ
-from forest_benchmarking_tpu.paulis import PauliTerm, is_identity
+from forest_benchmarking_tpu.paulis import PauliTerm
 from forest_benchmarking_tpu.utils import transform_bit_moments_to_pauli
 
 __all__ = [

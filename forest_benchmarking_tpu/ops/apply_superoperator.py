@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from forest_benchmarking_tpu.ops.calculational import dag, kron, partial_trace
+from forest_benchmarking_tpu.ops.calculational import kron, partial_trace
 from forest_benchmarking_tpu.ops.superoperator_transformations import _stack_kraus
 
 __all__ = ["apply_kraus_ops_2_state", "apply_choi_matrix_2_state"]

@@ -418,8 +418,6 @@ def unitary_to_ptm_np(u: np.ndarray) -> np.ndarray:
 
 def circuit_unitary_np(circuit: Circuit, qubits: Sequence[int]) -> np.ndarray:
     """Dense unitary of a circuit, in pure numpy (host-side)."""
-    from forest_benchmarking_tpu.sim.density import _lift
-    import jax.numpy as jnp  # _lift is jnp-based but tiny; evaluate via numpy
     n = len(qubits)
     pos = {q: i for i, q in enumerate(qubits)}
     d = 2 ** n

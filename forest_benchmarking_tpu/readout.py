@@ -14,11 +14,11 @@ from __future__ import annotations
 
 import itertools
 from math import pi
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
-from forest_benchmarking_tpu.circuits import Circuit, Gate, RX
+from forest_benchmarking_tpu.circuits import Circuit, RX
 from forest_benchmarking_tpu.utils import (
     bitstring_prep, parameterized_bitstring_prep, bit_arrays_to_ints)
 

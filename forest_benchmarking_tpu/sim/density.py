@@ -11,7 +11,7 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
-from forest_benchmarking_tpu.circuits import Circuit, Gate
+from forest_benchmarking_tpu.circuits import Circuit
 
 __all__ = ["run_density_matrix", "density_probabilities", "apply_confusion",
            "apply_gate_to_density", "apply_kraus_to_density", "decoherence_kraus"]

@@ -7,7 +7,7 @@ programs with explicit PRNG state — deterministic and server-free.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax
@@ -17,7 +17,7 @@ from forest_benchmarking_tpu.circuits import Circuit, Gate
 from forest_benchmarking_tpu.paulis import PauliTerm, pauli_term_to_matrix
 from forest_benchmarking_tpu.sim.statevector import run_statevector
 from forest_benchmarking_tpu.sim.density import (
-    run_density_matrix, density_probabilities, apply_confusion)
+    run_density_matrix, density_probabilities)
 
 __all__ = ["QVM", "_symmetrization_patterns"]
 

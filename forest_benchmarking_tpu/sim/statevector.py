@@ -11,7 +11,7 @@ program under jit; vmap over a stacked batch of custom gate matrices gives the
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

@@ -36,7 +36,7 @@ from jax import lax
 import forest_benchmarking_tpu.distance_measures as dm
 from forest_benchmarking_tpu.circuits import Circuit
 from forest_benchmarking_tpu.paulis import (
-    PauliTerm, all_traceless_pauli_terms, pauli_term_to_matrix)
+    all_traceless_pauli_terms, pauli_term_to_matrix)
 from forest_benchmarking_tpu.observable_estimation import (
     ExperimentResult, ExperimentSetting, ObservablesExperiment,
     TensorProductState, SIC0, SIC1, SIC2, SIC3, plusX, minusX, plusY, minusY,

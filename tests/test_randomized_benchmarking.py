@@ -236,3 +236,29 @@ def test_circuit_unitary_np_matches_sim():
     psi = np.asarray(run_statevector(c, [0, 1]))
     assert np.allclose(u[:, 0], psi, atol=1e-12)
     assert np.allclose(u @ u.conj().T, np.eye(4), atol=1e-12)
+
+
+def test_simultaneous_rb_two_groups():
+    """Simultaneous RB over two disjoint qubit groups: independent decays."""
+    qubit_groups = [(0,), (1,)]
+    depths = [d for d in [2, 6, 10] for _ in range(6)]
+    expts = generate_rb_experiments(qubit_groups, depths, random_seed=21)
+    # attach depolarizing noise only to qubit 1's Cliffords via readout-free
+    # channel on every sequence element acting on qubit 1: use noisy readout
+    # instead for simplicity — noiseless gates, but qubit 1 has readout error
+    for expt in expts:
+        expt.program.define_noisy_readout(1, p00=0.95, p11=0.95)
+    qvm = QVM(seed=21)
+    results = acquire_rb_data(qvm, expts, num_shots=300)
+    stats = get_stats_by_qubit_group(qubit_groups, results)
+    fit0 = fit_rb_results(depths, stats[(0,)]["expectation"],
+                          stats[(0,)]["std_err"])
+    fit1 = fit_rb_results(depths, stats[(1,)]["expectation"],
+                          stats[(1,)]["std_err"])
+    # qubit 0 noiseless: survivals ~1 (weakly identified decay stays high);
+    # qubit 1's readout error depresses the baseline+amplitude, not the decay
+    surv0 = np.mean([np.mean(e) for e in stats[(0,)]["expectation"]])
+    surv1 = np.mean([np.mean(e) for e in stats[(1,)]["expectation"]])
+    assert surv0 > 0.98
+    assert surv1 < 0.95
+    assert fit0.success and fit1.success
