@@ -525,17 +525,25 @@ _pgdb_kernel_jit = jax.jit(_pgdb_kernel, static_argnames=(
 
 def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
                           trace_preserving: bool = True,
-                          maxiter: int = 1000) -> jnp.ndarray:
-    """Projected-gradient-descent-with-backtracking MLE process estimate [PGD].
+                          maxiter: int = 1000,
+                          method: str = "pgdb") -> jnp.ndarray:
+    """Projected-gradient MLE process estimate [PGD].
 
     Returns the Choi-matrix estimate; the projection onto CPTP (or CP+TNI) uses
-    Dykstra's algorithm exactly as the reference does.
+    Dykstra's algorithm exactly as the reference does. ``method="apg"`` selects
+    the accelerated solver (same optimum, ~3x fewer iterations).
     """
     a, n = _extract_from_results(results, qubits)
     dim = 2 ** len(qubits)
-    return _pgdb_kernel_jit(jnp.asarray(a), jnp.asarray(n), dim=dim,
-                            trace_preserving=trace_preserving, stop_tol=1e-10,
-                            maxiter=maxiter, dyk_tol=1e-4, dyk_iters=1000)
+    if method == "pgdb":
+        return _pgdb_kernel_jit(jnp.asarray(a), jnp.asarray(n), dim=dim,
+                                trace_preserving=trace_preserving,
+                                stop_tol=1e-10, maxiter=maxiter, dyk_tol=1e-4,
+                                dyk_iters=1000)
+    return pgdb_process_estimate_batched(
+        jnp.asarray(a), jnp.asarray(n)[None], dim=dim,
+        trace_preserving=trace_preserving, stop_tol=1e-10, maxiter=maxiter,
+        dyk_tol=1e-4, dyk_iters=1000, method=method)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("dim", "trace_preserving",

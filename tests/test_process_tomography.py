@@ -199,3 +199,15 @@ def test_unknown_method_raises():
                                   dtype=jnp.float64)
     with pytest.raises(ValueError):
         pgdb_process_estimate_batched(a, n, dim=4, method="banana")
+
+
+def test_host_api_apg_method():
+    circuit = Circuit([RY(0.5, 0)])
+    qubits = [0]
+    qvm = QVM(seed=10)
+    expt = generate_process_tomography_experiment(circuit, qubits, "pauli")
+    results = wfn_estimate_observables(qvm, expt, qubits)
+    pgdb = np.asarray(pgdb_process_estimate(results, qubits))
+    apg = np.asarray(pgdb_process_estimate(results, qubits, method="apg",
+                                           maxiter=60))
+    assert np.max(np.abs(pgdb - apg)) < 1e-3

@@ -140,3 +140,23 @@ def test_pick_two_eigenvecs_settings():
     assert len(settings) == 4
     labels = {str(s.observable) for s in settings}
     assert len(labels) == 4
+
+
+def test_rpe_with_readout_mitigation():
+    """mitigate_readout_errors path: noisy readout, calibrated estimates."""
+    angle = 1.3
+
+    class NoisyQVM(QVM):
+        def run(self, circuit, qubits, num_shots):
+            noisy = circuit.copy()
+            noisy.define_noisy_readout(0, p00=0.92, p11=0.9)
+            return super().run(noisy, qubits, num_shots)
+
+    qvm = NoisyQVM(seed=8)
+    prep, pre_meas, settings = all_eigenvector_prep_meas_settings([0], Circuit())
+    expts = generate_rpe_experiments(Circuit([RZ(angle, 0)]), prep, pre_meas,
+                                     settings, num_depths=5)
+    results = acquire_rpe_data(qvm, expts, multiplicative_factor=20.0,
+                               mitigate_readout_errors=True)
+    est = robust_phase_estimate(results, [0])
+    assert abs(est - angle) < 0.1
