@@ -57,14 +57,14 @@ def _make_data(a_dev, key):
     return jnp.asarray(np.asarray(n)), jnp.asarray(np.asarray(chois_ri))
 
 
-def _solver(method, maxiter):
+def _solver(method, maxiter, loop_dyk_iters=None):
     @jax.jit
     def solve(a_ri, n, chois_ri):
         a = join_complex(a_ri)
         chois = join_complex(chois_ri)
         est = pgdb_process_estimate_batched(
             a, n, dim=DIM, stop_tol=1e-6, maxiter=maxiter, dyk_tol=1e-4,
-            dyk_iters=20, method=method)
+            dyk_iters=20, method=method, loop_dyk_iters=loop_dyk_iters)
         err = jnp.sqrt(jnp.sum(jnp.abs(est - chois) ** 2, axis=(1, 2)))
         return err / jnp.sqrt(jnp.sum(jnp.abs(chois) ** 2, axis=(1, 2)))
     return solve
@@ -85,7 +85,11 @@ def tpu_throughput() -> dict:
         process_tomo_A_matrix(N_QUBITS).astype(np.complex64)))
     n, chois_ri = _make_data(a_dev, jax.random.PRNGKey(0))
 
-    err_apg, dt_apg = _time_solver(_solver("apg", 25), a_dev, n, chois_ri)
+    # APG with inexact in-loop Dykstra (2 inner iterations) + one final
+    # converged projection: same shot-noise-floor error, ~1.5x faster than
+    # running the batch-max 3 inner iterations every descent step
+    err_apg, dt_apg = _time_solver(_solver("apg", 25, loop_dyk_iters=2),
+                                   a_dev, n, chois_ri)
     err_pgdb, dt_pgdb = _time_solver(_solver("pgdb", 60), a_dev, n, chois_ri)
     return {
         "solves_per_sec": BATCH / dt_apg,

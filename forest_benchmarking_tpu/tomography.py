@@ -458,7 +458,8 @@ def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: boo
 def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool,
                 stop_tol: float, maxiter: int, dyk_tol: float,
                 dyk_iters: int, cp_method: str = "eigh",
-                ns_iters: int = 24) -> jnp.ndarray:
+                ns_iters: int = 24,
+                loop_dyk_iters: Optional[int] = None) -> jnp.ndarray:
     """Accelerated projected gradient (FISTA with function restart) [APG-QPT].
 
     Same cost/gradient/projection as PGDB but with Nesterov momentum and a
@@ -466,6 +467,14 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
     (cf. "Superfast maximum likelihood reconstruction", arXiv:1609.07881).
     No backtracking: the fixed step 1/mu = 2 d^2 / 3 matches the reference's
     inverse learning rate.
+
+    ``loop_dyk_iters`` caps the Dykstra inner loop *inside* the descent loop
+    (inexact proximal steps); the returned estimate always gets one final
+    projection at the full ``dyk_iters``/``dyk_tol`` so it is rigorously CPTP.
+    Measured on v5e at batch 4096: the vmapped Dykstra loop runs to the batch
+    max (3 inner iterations) while typical problems need ~2, so
+    ``loop_dyk_iters=2`` is ~1.4x faster end-to-end at the same shot-noise
+    floor.
     """
     cdtype = a.dtype
     rdtype = jnp.real(a).dtype
@@ -490,10 +499,19 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
     est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
     mu = 3.0 / (2 * dim ** 2)
 
-    def proj(x):
+    def proj_full(x):
         return proj_choi_to_physical(x, make_trace_preserving=trace_preserving,
                                      tol=dyk_tol, max_iters=dyk_iters,
                                      cp_method=cp_method, ns_iters=ns_iters)
+
+    if loop_dyk_iters is None:
+        proj = proj_full
+    else:
+        def proj(x):
+            return proj_choi_to_physical(
+                x, make_trace_preserving=trace_preserving, tol=dyk_tol,
+                max_iters=loop_dyk_iters, cp_method=cp_method,
+                ns_iters=ns_iters)
 
     def body(carry):
         est, est_prev, t, old_cost, _, it = carry
@@ -515,6 +533,8 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
     init = (est0, est0, jnp.asarray(1.0, rdtype), cost(est0),
             jnp.asarray(jnp.inf, rdtype), jnp.asarray(0))
     est, _, _, _, _, _ = lax.while_loop(cond, body, init)
+    if loop_dyk_iters is not None:
+        est = proj_full(est)
     return est
 
 
@@ -549,7 +569,8 @@ def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
 @functools.partial(jax.jit, static_argnames=("dim", "trace_preserving",
                                              "stop_tol", "maxiter", "dyk_tol",
                                              "dyk_iters", "cp_method",
-                                             "ns_iters", "method"))
+                                             "ns_iters", "method",
+                                             "loop_dyk_iters"))
 def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
                                   trace_preserving: bool = True,
                                   stop_tol: float = 1e-10, maxiter: int = 1000,
@@ -557,16 +578,28 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
                                   dyk_iters: int = 1000,
                                   cp_method: str = "eigh",
                                   ns_iters: int = 24,
-                                  method: str = "pgdb") -> jnp.ndarray:
+                                  method: str = "pgdb",
+                                  loop_dyk_iters: Optional[int] = None) \
+        -> jnp.ndarray:
     """Batched PGDB: (R, d^4) shared A-matrix, (B, R) counts -> (B, d^2, d^2).
 
     This is the BASELINE north-star kernel: thousands of 2Q process-MLE solves
     per dispatch, each with per-problem convergence (vmapped while loops).
+
+    ``loop_dyk_iters`` (APG only) caps the Dykstra loop inside the descent
+    iterations; the result still gets a final converged projection, so it is
+    always CPTP. See :func:`_apg_kernel`.
     """
+    if loop_dyk_iters is not None and loop_dyk_iters < 1:
+        raise ValueError(f"loop_dyk_iters must be >= 1, got {loop_dyk_iters}")
     if method == "pgdb":
+        if loop_dyk_iters is not None:
+            raise ValueError("loop_dyk_iters is only supported with "
+                             "method='apg' (PGDB's backtracking line search "
+                             "assumes exact projections)")
         kern = _pgdb_kernel
     elif method == "apg":
-        kern = _apg_kernel
+        kern = functools.partial(_apg_kernel, loop_dyk_iters=loop_dyk_iters)
     else:
         raise ValueError(f"Unknown method '{method}'")
     return jax.vmap(lambda nn: kern(a, nn, dim, trace_preserving,

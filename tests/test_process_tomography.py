@@ -173,6 +173,49 @@ def test_apg_matches_converged_pgdb():
     assert float(jnp.abs(apg - converged).max()) < 2e-4
 
 
+def test_apg_inexact_prox_matches_full_and_is_physical():
+    """loop_dyk_iters caps the in-loop Dykstra; the final converged projection
+    keeps the estimate CPTP and within shot noise of the exact-prox solve."""
+    import jax
+    from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
+                                                    synth_process_datasets)
+    from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
+    from forest_benchmarking_tpu.ops.calculational import partial_trace
+    a = jnp.asarray(process_tomo_A_matrix(2))
+    n, chois = synth_process_datasets(jax.random.PRNGKey(5), a, 4, 4, 1500,
+                                      dtype=jnp.float64)
+    full = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-8,
+                                         maxiter=200, dyk_iters=1000,
+                                         method="apg")
+    fast = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-8,
+                                         maxiter=200, dyk_iters=1000,
+                                         method="apg", loop_dyk_iters=2)
+    # well within shot noise (~0.02/element at 1500 shots)
+    assert float(jnp.abs(fast - full).max()) < 1e-3
+    for i in range(4):
+        est = np.asarray(fast[i])
+        pt = np.asarray(partial_trace(fast[i], keep=[0], dims=[4, 4]))
+        assert np.abs(pt - np.eye(4)).max() < 1e-10          # exactly TP
+        eigs = np.linalg.eigvalsh((est + est.conj().T) / 2)
+        assert eigs.min() > -1e-3                            # CP to dyk_tol
+
+
+def test_loop_dyk_iters_validation():
+    """loop_dyk_iters rejects pgdb (needs exact projections) and values < 1."""
+    import jax
+    from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
+                                                    synth_process_datasets)
+    from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
+    a = jnp.asarray(process_tomo_A_matrix(2))
+    n, _ = synth_process_datasets(jax.random.PRNGKey(5), a, 4, 2, 500)
+    with pytest.raises(ValueError, match="apg"):
+        pgdb_process_estimate_batched(a, n, dim=4, method="pgdb",
+                                      loop_dyk_iters=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        pgdb_process_estimate_batched(a, n, dim=4, method="apg",
+                                      loop_dyk_iters=0)
+
+
 def test_ns_projection_matches_eigh_in_pgdb():
     import jax
     from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
