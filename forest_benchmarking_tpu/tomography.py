@@ -459,7 +459,8 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
                 stop_tol: float, maxiter: int, dyk_tol: float,
                 dyk_iters: int, cp_method: str = "eigh",
                 ns_iters: int = 24,
-                loop_dyk_iters: Optional[int] = None) -> jnp.ndarray:
+                loop_dyk_iters: Optional[int] = None,
+                warm_start: bool = False) -> jnp.ndarray:
     """Accelerated projected gradient (FISTA with function restart) [APG-QPT].
 
     Same cost/gradient/projection as PGDB but with Nesterov momentum and a
@@ -475,6 +476,13 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
     max (3 inner iterations) while typical problems need ~2, so
     ``loop_dyk_iters=2`` is ~1.4x faster end-to-end at the same shot-noise
     floor.
+
+    ``warm_start`` initializes from the CPTP projection of the linear-inversion
+    estimate instead of I/d, cutting the iteration count from ~15 to ~4-6
+    (3x end-to-end with ``loop_dyk_iters=2``). The result sits on the same
+    likelihood plateau as the converged cold-start optimum (f64: cost within
+    1e-7 on costs of ~1e6; estimates differ by ~8e-5 where the objective is
+    flat, 200x below shot noise at 2000 shots/setting).
     """
     cdtype = a.dtype
     rdtype = jnp.real(a).dtype
@@ -496,7 +504,6 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
         eta = (nr / p).astype(cdtype)
         return unvec(-_mv(dag(a), eta))
 
-    est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
     mu = 3.0 / (2 * dim ** 2)
 
     def proj_full(x):
@@ -512,6 +519,20 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
                 x, make_trace_preserving=trace_preserving, tol=dyk_tol,
                 max_iters=loop_dyk_iters, cp_method=cp_method,
                 ns_iters=ns_iters)
+
+    if warm_start:
+        # start from the CPTP projection of the (rescaled) linear-inversion
+        # estimate instead of the maximally-mixed Choi. pinv(a) involves only
+        # the unbatched A-matrix, so under vmap it is computed once per
+        # dispatch and amortized over the whole batch.
+        x0 = _mv(jnp.linalg.pinv(a), n.astype(cdtype))
+        rho0 = unvec(x0)
+        rho0 = (rho0 + dag(rho0)) / 2
+        tr = jnp.real(jnp.trace(rho0))
+        rho0 = rho0 * (dim / jnp.where(jnp.abs(tr) < 1e-12, 1.0, tr)).astype(cdtype)
+        est0 = proj(rho0)
+    else:
+        est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
 
     def body(carry):
         est, est_prev, t, old_cost, _, it = carry
@@ -570,7 +591,7 @@ def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
                                              "stop_tol", "maxiter", "dyk_tol",
                                              "dyk_iters", "cp_method",
                                              "ns_iters", "method",
-                                             "loop_dyk_iters"))
+                                             "loop_dyk_iters", "warm_start"))
 def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
                                   trace_preserving: bool = True,
                                   stop_tol: float = 1e-10, maxiter: int = 1000,
@@ -579,8 +600,8 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
                                   cp_method: str = "eigh",
                                   ns_iters: int = 24,
                                   method: str = "pgdb",
-                                  loop_dyk_iters: Optional[int] = None) \
-        -> jnp.ndarray:
+                                  loop_dyk_iters: Optional[int] = None,
+                                  warm_start: bool = False) -> jnp.ndarray:
     """Batched PGDB: (R, d^4) shared A-matrix, (B, R) counts -> (B, d^2, d^2).
 
     This is the BASELINE north-star kernel: thousands of 2Q process-MLE solves
@@ -593,13 +614,14 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
     if loop_dyk_iters is not None and loop_dyk_iters < 1:
         raise ValueError(f"loop_dyk_iters must be >= 1, got {loop_dyk_iters}")
     if method == "pgdb":
-        if loop_dyk_iters is not None:
-            raise ValueError("loop_dyk_iters is only supported with "
-                             "method='apg' (PGDB's backtracking line search "
-                             "assumes exact projections)")
+        if loop_dyk_iters is not None or warm_start:
+            raise ValueError("loop_dyk_iters/warm_start are only supported "
+                             "with method='apg' (PGDB stays reference-"
+                             "faithful: exact projections, I/d start)")
         kern = _pgdb_kernel
     elif method == "apg":
-        kern = functools.partial(_apg_kernel, loop_dyk_iters=loop_dyk_iters)
+        kern = functools.partial(_apg_kernel, loop_dyk_iters=loop_dyk_iters,
+                                 warm_start=warm_start)
     else:
         raise ValueError(f"Unknown method '{method}'")
     return jax.vmap(lambda nn: kern(a, nn, dim, trace_preserving,
