@@ -186,12 +186,18 @@ def _logm_psd(rho: jnp.ndarray) -> jnp.ndarray:
 
 def _mle_kernel(obs_mats: jnp.ndarray, expectations: jnp.ndarray,
                 num_meas: jnp.ndarray, epsilon: float, entropy_penalty: float,
-                beta: float, tol: float, maxiter: int) -> jnp.ndarray:
+                beta: float, tol: float, maxiter: int,
+                warm_start: bool = False) -> jnp.ndarray:
     """Single-problem diluted-MLE loop; vmap for batching.
 
     Mirrors the reference update (tomography.py:242-268): R(rho) from the
     plus/minus projector decomposition of each Pauli, T_k = R - I with optional
     MaxEnt / hedging corrections, rho <- U rho U / tr, U = I + eps T_k.
+
+    ``warm_start`` initializes from the physical ("wizard") projection of the
+    linear-inversion estimate (I + sum_s e_s P_s)/d instead of I/d — valid when
+    ``obs_mats`` is the full traceless Pauli basis (tr P_a P_b = d delta_ab).
+    Same fixed point, reached in far fewer diluted iterations.
     """
     s = obs_mats.shape[0]
     d = obs_mats.shape[-1]
@@ -231,14 +237,19 @@ def _mle_kernel(obs_mats: jnp.ndarray, expectations: jnp.ndarray,
         _, diff, it = carry
         return jnp.logical_and(diff >= tol, it < maxiter)
 
-    rho0 = eye / d
+    if warm_start:
+        rho_lin = (eye + jnp.einsum("s,sij->ij", e, obs_mats)) / d
+        rho_lin = (rho_lin + dag(rho_lin)) / 2
+        rho0 = project_state_matrix_to_physical(rho_lin)
+    else:
+        rho0 = eye / d
     init = (rho0, jnp.asarray(jnp.inf, rdtype), jnp.asarray(0))
     rho, _, _ = lax.while_loop(cond, body, init)
     return rho
 
 
 _mle_kernel_jit = jax.jit(_mle_kernel, static_argnames=(
-    "epsilon", "entropy_penalty", "beta", "tol", "maxiter"))
+    "epsilon", "entropy_penalty", "beta", "tol", "maxiter", "warm_start"))
 
 
 def iterative_mle_state_estimate(results: List[ExperimentResult], qubits: List[int],
@@ -260,24 +271,30 @@ def iterative_mle_state_estimate(results: List[ExperimentResult], qubits: List[i
 
 
 @functools.partial(jax.jit, static_argnames=("epsilon", "entropy_penalty", "beta",
-                                             "tol", "maxiter"))
+                                             "tol", "maxiter", "warm_start"))
 def iterative_mle_state_estimate_batched(obs_mats: jnp.ndarray,
                                          expectations: jnp.ndarray,
                                          num_meas: jnp.ndarray,
                                          epsilon: float = 0.1,
                                          entropy_penalty: float = 0.0,
                                          beta: float = 0.0, tol: float = 1e-9,
-                                         maxiter: int = 10_000) -> jnp.ndarray:
+                                         maxiter: int = 10_000,
+                                         warm_start: bool = False) \
+        -> jnp.ndarray:
     """Batched MLE: one XLA dispatch reconstructing a whole batch of problems.
 
     :param obs_mats: (S, d, d) shared stacked observables.
     :param expectations: (B, S) per-problem measured expectations.
     :param num_meas: (B,) total shot counts (only used by the hedged variant).
+    :param warm_start: start from the projected linear-inversion estimate
+        (requires ``obs_mats`` to be the full traceless Pauli basis); same
+        fixed point, far fewer iterations. See :func:`_mle_kernel`.
     :return: (B, d, d) density-matrix estimates, each converged per-problem.
     """
     return jax.vmap(
         lambda e, n: _mle_kernel(obs_mats, e, n, epsilon, entropy_penalty,
-                                 beta, tol, maxiter))(expectations, num_meas)
+                                 beta, tol, maxiter,
+                                 warm_start=warm_start))(expectations, num_meas)
 
 
 def state_log_likelihood(state: jnp.ndarray, results: Iterator[ExperimentResult],

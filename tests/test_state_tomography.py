@@ -175,3 +175,28 @@ def test_do_tomography_state():
     truth = true_state(circuit, [0])
     assert float(dm.fidelity(jnp.asarray(truth), jnp.asarray(
         project_state_matrix_to_physical(rho)))) > 0.95
+
+
+def test_mle_warm_start_same_fixed_point():
+    """warm_start=True (projected linear inversion init) reaches the same
+    DIMLE fixed point as the I/d start, well below shot noise."""
+    import jax
+    from forest_benchmarking_tpu.utils import pauli_basis_matrices
+    from forest_benchmarking_tpu.tomography import (
+        iterative_mle_state_estimate_batched)
+    rng = np.random.RandomState(3)
+    obs = jnp.asarray(pauli_basis_matrices(1)[1:])
+    batch, shots = 16, 2000
+    psi = rng.randn(batch, 2) + 1j * rng.randn(batch, 2)
+    psi /= np.linalg.norm(psi, axis=1, keepdims=True)
+    rho = psi[:, :, None] * psi[:, None, :].conj()
+    exact = np.real(np.einsum("sij,bji->bs", np.asarray(obs), rho))
+    e = jnp.asarray(2 * rng.binomial(shots, (1 + exact) / 2) / shots - 1)
+    nm = jnp.full((batch,), 3.0 * shots)
+    cold = iterative_mle_state_estimate_batched(obs, e, nm, tol=1e-10,
+                                                maxiter=20000)
+    warm = iterative_mle_state_estimate_batched(obs, e, nm, tol=1e-10,
+                                                maxiter=20000, warm_start=True)
+    assert float(jnp.abs(warm - cold).max()) < 1e-3
+    assert np.allclose(np.asarray(jnp.trace(warm, axis1=1, axis2=2)).real, 1.0,
+                       atol=1e-10)
