@@ -9,10 +9,12 @@ per second on one v5e chip; vs_baseline = value / 10^4.
 
 The headline solver is the accelerated projected gradient (APG / FISTA with
 function restart) warm-started from the projected linear-inversion estimate
-with inexact in-loop projections — it converges in ~4-6 iterations to the same
-likelihood plateau as the reference's converged PGDB (f64: log-likelihood
-within 1e-7, estimates 8e-5 apart where the objective is flat). Cold-start APG
-and reference-faithful PGDB figures are reported alongside.
+with inexact in-loop projections. It lands on the same likelihood plateau as
+the reference's converged PGDB: the f64 parity check reports the
+likelihood-ratio statistic 2*N*deltaLL ~ 0.6-3 (1-sigma region for this
+240-parameter model: ~240, two orders of magnitude away) and parameter
+deviation ~2e-3, an order of magnitude below shot noise. Cold-start APG and reference-faithful PGDB
+figures are reported alongside.
 
 Timing methodology: data are pre-generated on device and the timed region is
 the solver call plus a full host fetch of its (real) outputs — on the axon TPU
@@ -60,13 +62,14 @@ def _make_data(a_dev, key):
     return jnp.asarray(np.asarray(n)), jnp.asarray(np.asarray(chois_ri))
 
 
-def _solver(method, maxiter, loop_dyk_iters=None, warm_start=False):
+def _solver(method, maxiter, loop_dyk_iters=None, warm_start=False,
+            stop_tol=1e-6):
     @jax.jit
     def solve(a_ri, n, chois_ri):
         a = join_complex(a_ri)
         chois = join_complex(chois_ri)
         est = pgdb_process_estimate_batched(
-            a, n, dim=DIM, stop_tol=1e-6, maxiter=maxiter, dyk_tol=1e-4,
+            a, n, dim=DIM, stop_tol=stop_tol, maxiter=maxiter, dyk_tol=1e-4,
             dyk_iters=20, method=method, loop_dyk_iters=loop_dyk_iters,
             warm_start=warm_start)
         err = jnp.sqrt(jnp.sum(jnp.abs(est - chois) ** 2, axis=(1, 2)))
@@ -90,13 +93,14 @@ def tpu_throughput() -> dict:
     n, chois_ri = _make_data(a_dev, jax.random.PRNGKey(0))
 
     # Headline config: APG warm-started from the projected linear-inversion
-    # estimate, with inexact in-loop Dykstra (2 inner iterations) + one final
-    # converged projection. Converges in ~4-6 iterations to a point on the
-    # same likelihood plateau as the converged reference optimum (f64: cost
-    # within 1e-7 on costs ~1e6, estimates 8e-5 apart where the objective is
-    # flat — see the parity subprocess below). 3x the cold-start throughput.
+    # estimate, inexact in-loop Dykstra (2 inner iterations) + one final
+    # converged projection, stop_tol 1e-4 on the normalized cross-entropy.
+    # The result is statistically equivalent to the converged reference
+    # optimum: the parity subprocess below measures the log-likelihood-ratio
+    # statistic 2*N*deltaLL ~ 0.6-3 (the 1-sigma region for this 240-parameter
+    # model is ~240) and parameter deviation ~10x below shot noise.
     err_apg, dt_apg = _time_solver(
-        _solver("apg", 25, loop_dyk_iters=2, warm_start=True),
+        _solver("apg", 25, loop_dyk_iters=2, warm_start=True, stop_tol=1e-4),
         a_dev, n, chois_ri)
     err_cold, dt_cold = _time_solver(_solver("apg", 25, loop_dyk_iters=2),
                                      a_dev, n, chois_ri)
@@ -140,11 +144,16 @@ conv = np.asarray(pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4,
                                                 stop_tol=1e-12, maxiter=3000,
                                                 dyk_iters=200))
 apg_dev = float(np.max(np.abs(apg - conv)))
-# headline config (warm start + inexact prox): parameter deviation on the
-# flat optimum plateau, plus the log-likelihood excess (how much worse the
-# cost is than the converged reference optimum; ~1e-7 on costs of ~1e6)
+# headline config (warm start + inexact prox + stop_tol 1e-4), at its EXACT
+# production settings: parameter deviation on the flat optimum plateau, plus
+# the likelihood-ratio statistic 2*N*deltaLL in shot units (n is normalized
+# by the grand total N = shots * n_setting_pairs, so the statistic rescales
+# the normalized cross-entropy excess back to nats). For this 240-parameter
+# model the 1-sigma region is 2*deltaLL ~ 240; values < 1 mean the two
+# estimates are statistically indistinguishable.
 warm = np.asarray(pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4,
-                                                stop_tol=1e-12, maxiter=500,
+                                                stop_tol=1e-4, maxiter=25,
+                                                dyk_tol=1e-4, dyk_iters=20,
                                                 method="apg", warm_start=True,
                                                 loop_dyk_iters=2))
 from forest_benchmarking_tpu.ops.superoperator_transformations import vec
@@ -153,12 +162,13 @@ def cost(est_b):
                   for i in range(est_b.shape[0])])
     p = np.maximum((v @ a.T).real, 1e-12)
     return -(np.asarray(n) * np.log(p)).sum(axis=1)
+grand_total = 1000 * (a.shape[0] // 2)   # shots per setting * setting pairs
 warm_dev = float(np.max(np.abs(warm - conv)))
-warm_excess = float(np.max(cost(warm) - cost(conv)))
+warm_llr = float(np.max(cost(warm) - cost(conv)) * 2 * grand_total)
 print(json.dumps({"max_deviation_vs_oracle": float(dev),
                   "apg_vs_converged_pgdb": apg_dev,
                   "warm_apg_vs_converged_pgdb": warm_dev,
-                  "warm_apg_loglik_excess": warm_excess}))
+                  "warm_apg_llr_statistic": warm_llr}))
 """
 
 
@@ -194,7 +204,7 @@ def main():
         "apg_vs_converged_pgdb_f64": parity.get("apg_vs_converged_pgdb"),
         "warm_apg_vs_converged_pgdb_f64":
             parity.get("warm_apg_vs_converged_pgdb"),
-        "warm_apg_loglik_excess_f64": parity.get("warm_apg_loglik_excess"),
+        "warm_apg_llr_statistic_f64": parity.get("warm_apg_llr_statistic"),
     }
     if "parity_error" in parity:
         result["parity_error"] = parity["parity_error"]

@@ -497,9 +497,11 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
     ``warm_start`` initializes from the CPTP projection of the linear-inversion
     estimate instead of I/d, cutting the iteration count from ~15 to ~4-6
     (3x end-to-end with ``loop_dyk_iters=2``). The result sits on the same
-    likelihood plateau as the converged cold-start optimum (f64: cost within
-    1e-7 on costs of ~1e6; estimates differ by ~8e-5 where the objective is
-    flat, 200x below shot noise at 2000 shots/setting).
+    likelihood plateau as the converged cold-start optimum: at production
+    settings the f64 likelihood-ratio statistic 2*N*deltaLL is ~0.6-3 (the
+    1-sigma region for the d^4-d^2 = 240 parameter model is ~240 — two
+    orders of magnitude away) and parameters differ by ~2e-3, an order of
+    magnitude below shot noise at 2000 shots/setting.
     """
     cdtype = a.dtype
     rdtype = jnp.real(a).dtype

@@ -201,33 +201,41 @@ def test_apg_inexact_prox_matches_full_and_is_physical():
 
 
 def test_warm_start_reaches_same_likelihood_plateau():
-    """warm_start=True lands on the same MLE plateau as the cold start: the
-    log-likelihood matches the converged optimum to ~1e-7 (costs are ~1e5-1e6)
-    and the estimate deviates far below shot noise."""
+    """warm_start=True is statistically equivalent to the converged cold-start
+    MLE: likelihood-ratio statistic 2*N*deltaLL << the 1-sigma region (~240
+    for the 240-parameter 2Q channel) and parameter deviation << shot noise.
+
+    Run at the production config (stop_tol=1e-4, maxiter=25, loop_dyk_iters=2)
+    against a fully converged reference solve.
+    """
     import jax
     from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
                                                     synth_process_datasets)
     from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
     from forest_benchmarking_tpu.ops.superoperator_transformations import vec
     a = jnp.asarray(process_tomo_A_matrix(2))
-    n, _ = synth_process_datasets(jax.random.PRNGKey(9), a, 4, 4, 2000,
+    shots = 2000
+    n, _ = synth_process_datasets(jax.random.PRNGKey(9), a, 4, 4, shots,
                                   dtype=jnp.float64)
     cold = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-12,
-                                         maxiter=500, dyk_iters=1000,
+                                         maxiter=3000, dyk_iters=1000,
                                          method="apg")
-    warm = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-12,
-                                         maxiter=500, dyk_iters=1000,
-                                         method="apg", warm_start=True,
-                                         loop_dyk_iters=2)
+    warm = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-4,
+                                         maxiter=25, dyk_tol=1e-4,
+                                         dyk_iters=20, method="apg",
+                                         warm_start=True, loop_dyk_iters=2)
 
     def cost(est_b):
         v = jnp.stack([vec(est_b[i])[:, 0] for i in range(est_b.shape[0])])
         p = jnp.maximum(jnp.real(v @ a.T), 1e-12)
         return -jnp.sum(n * jnp.log(p), axis=1)
 
-    excess = float(jnp.max(cost(warm) - cost(cold)))
-    assert excess < 1e-4, excess            # same plateau (costs are ~1e5)
-    assert float(jnp.abs(warm - cold).max()) < 1e-3  # << shot noise
+    # n is normalized by the grand total, so rescale the cross-entropy excess
+    # back to nats to form the likelihood-ratio statistic
+    grand_total = shots * (a.shape[0] // 2)
+    llr = float(jnp.max(cost(warm) - cost(cold))) * 2 * grand_total
+    assert llr < 5.0, llr                   # 1-sigma region is ~240
+    assert float(jnp.abs(warm - cold).max()) < 5e-3  # shot noise is ~2e-2
 
     with pytest.raises(ValueError, match="apg"):
         pgdb_process_estimate_batched(a, n, dim=4, method="pgdb",
