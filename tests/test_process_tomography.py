@@ -223,7 +223,7 @@ def test_warm_start_reaches_same_likelihood_plateau():
     warm = pgdb_process_estimate_batched(a, n, dim=4, stop_tol=1e-4,
                                          maxiter=25, dyk_tol=1e-4,
                                          dyk_iters=20, method="apg",
-                                         warm_start=True, loop_dyk_iters=2)
+                                         warm_start=True, loop_dyk_iters=1)
 
     def cost(est_b):
         v = jnp.stack([vec(est_b[i])[:, 0] for i in range(est_b.shape[0])])
