@@ -31,3 +31,16 @@ stats = get_stats_by_qubit(results)
 fit = fit_rabi_results(angles, stats[0]["expectation"], stats[0]["std_err"])
 print(f"Rabi frequency ratio (actual/intended): "
       f"{fit.params['frequency'].value:.4f}")
+
+# --- CZ phase Ramsey: estimate the effective RZ the CZ imparts on one qubit
+from forest_benchmarking_tpu.qubit_spectroscopy import (
+    generate_cz_phase_ramsey_experiments, fit_cz_phase_ramsey_results)
+
+angles = np.linspace(0, 2 * np.pi, 25)
+cz_expts = generate_cz_phase_ramsey_experiments([0, 1], 0, angles)
+cz_results = acquire_qubit_spectroscopy_data(qvm, cz_expts, num_shots=2000)
+cz_stats = get_stats_by_qubit(cz_results)
+cz_fit = fit_cz_phase_ramsey_results(angles, cz_stats[0]["expectation"],
+                                     cz_stats[0]["std_err"])
+print(f"CZ-imparted RZ on qubit 0 (control in |0>, expect ~0): "
+      f"{cz_fit.params['offset'].value:.4f} rad")

@@ -39,3 +39,26 @@ decay = fit.params["decay"].value
 print(f"injected decay {expected_decay}, recovered {decay:.4f} "
       f"+- {fit.params['decay'].stderr:.4f}")
 print(f"average Clifford error: {rb_decay_to_gate_error(decay, 2):.4f}")
+
+# --- interleaved RB: bound the fidelity of a specific gate [IRB]
+from forest_benchmarking_tpu.circuits import Circuit, X as XGate
+from forest_benchmarking_tpu.randomized_benchmarking import (
+    do_rb, interleaved_gate_fidelity_bounds, unitarity_to_rb_decay)
+
+qvm2 = QVM(seed=11)
+depths2 = [d for d in [2, 6, 10, 16] for _ in range(8)]
+std_decays, _, _ = do_rb(qvm2, [(0,)], depths2, num_shots=300, random_seed=2)
+irb_decays, _, _ = do_rb(qvm2, [(0,)], depths2,
+                         interleaved_gate=Circuit([XGate(0)]),
+                         num_shots=300, random_seed=3)
+lo, hi = interleaved_gate_fidelity_bounds(std_decays[(0,)], irb_decays[(0,)],
+                                          dim=2)
+print(f"interleaved X gate fidelity bounds (noiseless sim): "
+      f"[{lo:.4f}, {hi:.4f}]")
+
+# --- unitarity RB: purity decay separates coherent from stochastic noise
+unit_decays, _, _ = do_rb(qvm2, [(0,)], depths2, is_unitarity_expt=True,
+                          num_shots=300, random_seed=4)
+u = unit_decays[(0,)]
+print(f"unitarity (noiseless sim, expect ~1): {u:.4f}; "
+      f"implied RB-decay bound {unitarity_to_rb_decay(u, 2):.4f}")
