@@ -139,7 +139,7 @@ def config3_rb_fits(batch=1024, n_depths=8, shots=500):
     }
 
 
-def config4_dfe_distances(batch=1024, dnorm_batch=32):
+def config4_dfe_distances(batch=1024, dnorm_batch=512):
     """Distance measures over random 2Q channels + batched diamond norms."""
     @jax.jit
     def dist_step(key):
