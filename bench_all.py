@@ -171,7 +171,7 @@ def config4_dfe_distances(batch=1024, dnorm_batch=512):
     }
 
 
-def config5_quantum_volume(depth=8, num_circuits=100, shots=1000):
+def config5_quantum_volume(depth=8, num_circuits=1600, shots=1000):
     """Heavy-output sampling vmapped over circuits at depth 8."""
     sample = jax.jit(sample_heavy_outputs_batched,
                      static_argnames=("depth", "num_circuits", "num_shots",
