@@ -102,7 +102,7 @@ def config1_state_tomo(batch=4096, shots=2000):
     }
 
 
-def config3_rb_fits(batch=1024, n_depths=8, shots=500):
+def config3_rb_fits(batch=8192, n_depths=8, shots=500):
     """Batched NLS decay fits over synthetic RB survival data."""
     depths = jnp.arange(2, 2 + 4 * n_depths, 4, dtype=DT)
 
