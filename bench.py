@@ -44,7 +44,7 @@ from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
 
 N_QUBITS = 2
 DIM = 2 ** N_QUBITS
-BATCH = 4096
+BATCH = 16384          # headline knee; cold/PGDB time a 4096 slice (their optimum)
 SHOTS = 2000
 TARGET_SOLVES_PER_SEC = 1.0e4
 
@@ -105,13 +105,18 @@ def tpu_throughput() -> dict:
     err_apg, dt_apg = _time_solver(
         _solver("apg", 25, loop_dyk_iters=1, warm_start=True, stop_tol=1e-4),
         a_dev, n, chois_ri)
+    # comparison solvers run their own optimal batch (4096): without the warm
+    # start the vmapped while_loop tail grows with batch, so larger batches
+    # make them slower per solve — timing them at 16384 would be unfair
+    sub = 4096
+    n4, c4 = n[:sub], chois_ri[:, :sub]
     err_cold, dt_cold = _time_solver(_solver("apg", 25, loop_dyk_iters=2),
-                                     a_dev, n, chois_ri)
-    err_pgdb, dt_pgdb = _time_solver(_solver("pgdb", 60), a_dev, n, chois_ri)
+                                     a_dev, n4, c4)
+    err_pgdb, dt_pgdb = _time_solver(_solver("pgdb", 60), a_dev, n4, c4)
     return {
         "solves_per_sec": BATCH / dt_apg,
-        "apg_cold_solves_per_sec": BATCH / dt_cold,
-        "pgdb_solves_per_sec": BATCH / dt_pgdb,
+        "apg_cold_solves_per_sec": sub / dt_cold,
+        "pgdb_solves_per_sec": sub / dt_pgdb,
         "batch": BATCH,
         "sec_per_batch": dt_apg,
         "mean_rel_frob_err": float(err_apg.mean()),
