@@ -53,7 +53,7 @@ def timed(fn, *args, reps=3):
     return out, min(times)
 
 
-def config1_state_tomo(batch=4096, shots=2000):
+def config1_state_tomo(batch=32768, shots=2000):
     """1Q state tomography: simulate Pauli shots -> linear inv + MLE, batched.
 
     Data are pre-generated; the timed region is the two estimators only.
