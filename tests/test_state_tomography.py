@@ -200,3 +200,26 @@ def test_mle_warm_start_same_fixed_point():
     assert float(jnp.abs(warm - cold).max()) < 1e-3
     assert np.allclose(np.asarray(jnp.trace(warm, axis1=1, axis2=2)).real, 1.0,
                        atol=1e-10)
+
+
+def test_mle_warm_start_2q_same_fixed_point():
+    """The linear-inversion warm start is valid for any full traceless Pauli
+    basis: on 2Q problems it reaches the same DIMLE fixed point as I/d."""
+    import jax
+    from forest_benchmarking_tpu.utils import pauli_basis_matrices
+    from forest_benchmarking_tpu.tomography import (
+        iterative_mle_state_estimate_batched)
+    rng = np.random.RandomState(2)
+    obs = jnp.asarray(pauli_basis_matrices(2)[1:])   # 15 traceless 2Q Paulis
+    batch, shots = 8, 3000
+    psi = rng.randn(batch, 4) + 1j * rng.randn(batch, 4)
+    psi /= np.linalg.norm(psi, axis=1, keepdims=True)
+    rho = psi[:, :, None] * psi[:, None, :].conj()
+    exact = np.real(np.einsum("sij,bji->bs", np.asarray(obs), rho))
+    e = jnp.asarray(2 * rng.binomial(shots, (1 + exact) / 2) / shots - 1)
+    nm = jnp.full((batch,), 15.0 * shots)
+    cold = iterative_mle_state_estimate_batched(obs, e, nm, tol=1e-11,
+                                                maxiter=50000)
+    warm = iterative_mle_state_estimate_batched(obs, e, nm, tol=1e-11,
+                                                maxiter=50000, warm_start=True)
+    assert float(jnp.abs(warm - cold).max()) < 1e-4
