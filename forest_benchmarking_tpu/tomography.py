@@ -586,16 +586,22 @@ _pgdb_kernel_jit = jax.jit(_pgdb_kernel, static_argnames=(
 def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
                           trace_preserving: bool = True,
                           maxiter: int = 1000,
-                          method: str = "pgdb") -> jnp.ndarray:
+                          method: str = "pgdb",
+                          warm_start: bool = False,
+                          loop_dyk_iters: Optional[int] = None) -> jnp.ndarray:
     """Projected-gradient MLE process estimate [PGD].
 
     Returns the Choi-matrix estimate; the projection onto CPTP (or CP+TNI) uses
     Dykstra's algorithm exactly as the reference does. ``method="apg"`` selects
-    the accelerated solver (same optimum, ~3x fewer iterations).
+    the accelerated solver (same optimum, ~3x fewer iterations);
+    ``warm_start``/``loop_dyk_iters`` (APG only) enable the fast production
+    configuration — see :func:`pgdb_process_estimate_batched`.
     """
     a, n = _extract_from_results(results, qubits)
     dim = 2 ** len(qubits)
     if method == "pgdb":
+        if warm_start or loop_dyk_iters is not None:
+            raise ValueError("warm_start/loop_dyk_iters require method='apg'")
         return _pgdb_kernel_jit(jnp.asarray(a), jnp.asarray(n), dim=dim,
                                 trace_preserving=trace_preserving,
                                 stop_tol=1e-10, maxiter=maxiter, dyk_tol=1e-4,
@@ -603,7 +609,8 @@ def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
     return pgdb_process_estimate_batched(
         jnp.asarray(a), jnp.asarray(n)[None], dim=dim,
         trace_preserving=trace_preserving, stop_tol=1e-10, maxiter=maxiter,
-        dyk_tol=1e-4, dyk_iters=1000, method=method)[0]
+        dyk_tol=1e-4, dyk_iters=1000, method=method,
+        warm_start=warm_start, loop_dyk_iters=loop_dyk_iters)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("dim", "trace_preserving",
