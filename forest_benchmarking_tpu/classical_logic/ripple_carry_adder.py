@@ -17,7 +17,7 @@ from forest_benchmarking_tpu.circuits import Circuit, CNOT, H
 from forest_benchmarking_tpu.classical_logic.primitives import (
     CNOT_X_basis, majority_gate, unmajority_add_gate)
 from forest_benchmarking_tpu.utils import (
-    bit_array_to_int, int_to_bit_array, bitstring_prep)
+    bit_array_to_int, int_to_bit_array, bitstring_prep, progress_iter)
 from forest_benchmarking_tpu.sim.statevector import all_bitstrings
 
 __all__ = ["assign_registers_to_line_or_cycle", "get_qubit_registers_for_adder",
@@ -154,7 +154,9 @@ def get_n_bit_adder_results(qc, n_bits: int,
         registers = get_qubit_registers_for_adder(topology, n_bits, qubits)
 
     all_results = []
-    for bits in all_bitstrings(2 * n_bits):
+    for bits in progress_iter(all_bitstrings(2 * n_bits), show_progress_bar,
+                              desc="adder summand pairs",
+                              total=4 ** n_bits):
         num_a = bits[:n_bits]
         num_b = bits[n_bits:]
         prog, meas_order = adder(num_a, num_b, *registers, in_x_basis=in_x_basis)

@@ -271,8 +271,11 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
 def watrous_bounds(choi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(lower, upper) Watrous bounds on the diamond norm from the nuclear norm.
 
-    ``nuclear <= dnorm <= dim * nuclear`` where nuclear = sum of singular values
-    of the (batched) Choi matrix.
+    ``nuclear <= dnorm <= dim**2 * nuclear`` where nuclear is the sum of
+    singular values of the (batched) Choi matrix and the upper-bound factor is
+    the full Choi dimension ``choi.shape[-2] = dim**2`` (matching the
+    reference's behavior, distance_measures.py:440-460 — NOT the tighter
+    ``dim * nuclear``).
     """
     choi = jnp.asarray(choi)
     s = jnp.linalg.svd(choi, compute_uv=False)

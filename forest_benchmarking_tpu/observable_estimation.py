@@ -15,7 +15,6 @@ array bridge for estimators lives in the tomography module.
 """
 from __future__ import annotations
 
-import itertools
 import json
 import re
 import warnings
@@ -25,11 +24,11 @@ from math import pi
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
-from scipy.stats import beta as beta_dist
 
 from forest_benchmarking_tpu.circuits import Circuit, Gate, RX, RY, RZ
 from forest_benchmarking_tpu.paulis import PauliTerm
-from forest_benchmarking_tpu.utils import transform_bit_moments_to_pauli
+from forest_benchmarking_tpu.utils import (progress_iter,
+                                           transform_bit_moments_to_pauli)
 
 __all__ = [
     "_OneQState", "TensorProductState", "SIC0", "SIC1", "SIC2", "SIC3",
@@ -38,7 +37,7 @@ __all__ = [
     "to_json", "read_json", "ExperimentResult",
     "construct_tpb_graph", "group_settings_clique_removal",
     "group_settings_greedy", "group_settings",
-    "generate_experiment_programs", "shots_to_obs_moments",
+    "generate_experiment_programs", "bitarray_to_moments", "shots_to_obs_moments",
     "estimate_observables", "get_calibration_program",
     "calibrate_observable_estimates", "ratio_variance",
     "merge_disjoint_experiments", "get_results_by_qubit_groups",
@@ -355,52 +354,98 @@ def _local_pauli_eig_meas(op: str, idx: int) -> Circuit:
 
 
 # ------------------------------ TPB grouping --------------------------------
+#
+# Design: a setting is TPB-compatible with another iff, qubit by qubit, their
+# one-qubit preparations and their one-qubit Pauli factors never disagree
+# (absent counts as wildcard). We encode every setting as two small integer
+# vectors over the union of qubits — prep-label ids and Pauli ids, 0 = absent —
+# so compatibility becomes the elementwise predicate
+# ``(a == 0) | (b == 0) | (a == b)``, evaluated for all pairs in one numpy
+# broadcast instead of a Python double loop. Replaces the semantics of
+# reference observable_estimation.py:470-691 with a vectorized formulation.
+
+def _merge_disjointly(pairs) -> Optional[dict]:
+    """Merge (key, value) pairs into one dict; None if any key is assigned two
+    different values (i.e. the inputs do not share a tensor product basis)."""
+    merged = {}
+    for key, val in pairs:
+        if merged.setdefault(key, val) != val:
+            return None
+    return merged
+
 
 def _max_weight_operator(ops: Iterable[PauliTerm]) -> Optional[PauliTerm]:
-    """Merge operators sharing a tensor product basis; None if incompatible."""
-    mapping: Dict[int, str] = {}
-    for op in ops:
-        for idx, op_str in op:
-            if idx in mapping:
-                if mapping[idx] != op_str:
-                    return None
-            else:
-                mapping[idx] = op_str
-    return PauliTerm(mapping)
+    """The union Pauli term covering every input, or None if they conflict.
+
+    E.g. XI and IZ merge to XZ; XI and ZI conflict. Semantics of reference
+    observable_estimation.py:522-543.
+    """
+    merged = _merge_disjointly((q, p) for op in ops for q, p in op)
+    return None if merged is None else PauliTerm(merged)
 
 
 def _max_weight_state(states: Iterable[TensorProductState]) -> Optional[TensorProductState]:
-    """Merge compatible tensor product states; None if incompatible."""
-    mapping: Dict[int, _OneQState] = {}
-    for state in states:
-        for oneq in state.states:
-            if oneq.qubit in mapping:
-                if mapping[oneq.qubit] != oneq:
-                    return None
-            else:
-                mapping[oneq.qubit] = oneq
-    return TensorProductState(list(mapping.values()))
+    """The union tensor-product state, or None on a one-qubit conflict
+    (reference observable_estimation.py:544-562)."""
+    merged = _merge_disjointly((s.qubit, s) for state in states
+                               for s in state.states)
+    return None if merged is None else TensorProductState(list(merged.values()))
+
+
+_OBS_CODE = {"X": 1, "Y": 2, "Z": 3}
+
+
+def _setting_code_arrays(settings: Sequence[ExperimentSetting]):
+    """Encode settings as (prep, obs) int arrays of shape (n_settings, n_qubits).
+
+    Entry 0 means "this setting does not touch this qubit"; equal nonzero
+    entries mean identical one-qubit prep / Pauli factor.
+    """
+    qubits = sorted({s.qubit for sett in settings for s in sett.in_state.states}
+                    | {q for sett in settings for q in sett.observable.get_qubits()})
+    col = {q: i for i, q in enumerate(qubits)}
+    prep = np.zeros((len(settings), len(qubits)), dtype=np.int32)
+    obs = np.zeros_like(prep)
+    prep_ids: Dict[Tuple[str, int], int] = {}
+    for i, sett in enumerate(settings):
+        for s in sett.in_state.states:
+            code = prep_ids.setdefault((s.label, s.index), len(prep_ids) + 1)
+            prep[i, col[s.qubit]] = code
+        for q, p in sett.observable:
+            obs[i, col[q]] = _OBS_CODE[p]
+    return prep, obs
+
+
+def _codes_compatible(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise wildcard-aware agreement, reduced over the qubit axis."""
+    return ((a == 0) | (b == 0) | (a == b)).all(axis=-1)
 
 
 def construct_tpb_graph(obs_expt: ObservablesExperiment):
-    """Graph with an edge when two settings are diagonal in a shared TPB."""
+    """Graph with an edge when two settings are diagonal in a shared TPB.
+
+    Edges come from one vectorized all-pairs compatibility evaluation on the
+    code arrays (reference builds this graph pairwise, :470-496).
+    """
     import networkx as nx
+    uniq: List[ExperimentSetting] = []
+    counts: Dict[ExperimentSetting, int] = {}
+    for group in obs_expt:
+        assert len(group) == 1, "already grouped?"
+        sett = group[0]
+        if sett not in counts:
+            uniq.append(sett)
+        counts[sett] = counts.get(sett, 0) + 1
+
     g = nx.Graph()
-    for groups in obs_expt:
-        assert len(groups) == 1, "already grouped?"
-        setting = groups[0]
-        if setting not in g:
-            g.add_node(setting, count=1)
-        else:
-            g.nodes[setting]["count"] += 1
-    for group1, group2 in itertools.combinations(obs_expt, r=2):
-        sett1, sett2 = group1[0], group2[0]
-        if sett1 == sett2:
-            continue
-        if (_max_weight_state([sett1.in_state, sett2.in_state]) is not None
-                and _max_weight_operator([sett1.observable, sett2.observable])
-                is not None):
-            g.add_edge(sett1, sett2)
+    for sett in uniq:
+        g.add_node(sett, count=counts[sett])
+    if len(uniq) > 1:
+        prep, obs = _setting_code_arrays(uniq)
+        compat = (_codes_compatible(prep[:, None, :], prep[None, :, :])
+                  & _codes_compatible(obs[:, None, :], obs[None, :, :]))
+        for i, j in zip(*np.nonzero(np.triu(compat, k=1))):
+            g.add_edge(uniq[i], uniq[j])
     return g
 
 
@@ -409,42 +454,62 @@ def group_settings_clique_removal(experiment: ObservablesExperiment) -> Observab
     from networkx.algorithms.approximation.clique import clique_removal
     g = construct_tpb_graph(experiment)
     _, cliqs = clique_removal(g)
-    new_cliqs = []
-    for cliq in cliqs:
-        new_cliq = []
-        for sett in cliq:
-            new_cliq += [sett] * g.nodes[sett]["count"]
-        new_cliqs.append(new_cliq)
+    new_cliqs = [[sett for sett in cliq for _ in range(g.nodes[sett]["count"])]
+                 for cliq in cliqs]
     return ObservablesExperiment(new_cliqs, program=experiment.program)
 
 
-def _max_tpb_overlap(obs_expt: ObservablesExperiment):
-    """Greedy assignment of settings to shared-TPB buckets (reference :564)."""
-    diagonal_sets = {}
-    for group in obs_expt:
-        assert len(group) == 1, "already grouped?"
-        setting = group[0]
-        found = False
-        for es in list(diagonal_sets):
-            trial = diagonal_sets[es] + [setting]
-            diag_in = _max_weight_state(s.in_state for s in trial)
-            diag_out = _max_weight_operator(s.observable for s in trial)
-            if diag_in is not None and diag_out is not None:
-                found = True
-                if (len(diag_in) > len(es.in_state)
-                        or len(diag_out) > len(es.observable)):
-                    del diagonal_sets[es]
-                    diagonal_sets[ExperimentSetting(diag_in, diag_out)] = trial
-                else:
-                    diagonal_sets[es] = trial
-                break
-        if not found:
-            diagonal_sets[setting] = [setting]
-    return diagonal_sets
+class _TpbBucket:
+    """A greedy group: running union codes + the member settings."""
+    __slots__ = ("prep", "obs", "members")
+
+    def __init__(self, prep: np.ndarray, obs: np.ndarray,
+                 setting: ExperimentSetting):
+        self.prep = prep.copy()
+        self.obs = obs.copy()
+        self.members = [setting]
+
+    def try_absorb(self, prep: np.ndarray, obs: np.ndarray,
+                   setting: ExperimentSetting) -> Optional[bool]:
+        """Add the setting if compatible. Returns None on conflict, else
+        whether the bucket's union basis grew (gained a new qubit factor)."""
+        if not (_codes_compatible(self.prep, prep)
+                and _codes_compatible(self.obs, obs)):
+            return None
+        filled_before = np.count_nonzero(self.prep) + np.count_nonzero(self.obs)
+        np.maximum(self.prep, prep, out=self.prep)  # 0 is wildcard; equal elsewhere
+        np.maximum(self.obs, obs, out=self.obs)
+        self.members.append(setting)
+        grew = (np.count_nonzero(self.prep) + np.count_nonzero(self.obs)
+                > filled_before)
+        return grew
 
 
 def group_settings_greedy(obs_expt: ObservablesExperiment) -> ObservablesExperiment:
-    return ObservablesExperiment(list(_max_tpb_overlap(obs_expt).values()),
+    """First-fit greedy grouping on the code arrays.
+
+    Order semantics match reference _max_tpb_overlap (:564-613): settings scan
+    existing groups in order and join the first compatible one; a group whose
+    union basis grows is re-keyed, which (as a dict delete+insert there) moves
+    it to the end of the scan order.
+    """
+    settings = []
+    for group in obs_expt:
+        assert len(group) == 1, "already grouped?"
+        settings.append(group[0])
+    preps, obses = _setting_code_arrays(settings)
+
+    buckets: List[_TpbBucket] = []
+    for sett, prep, obs in zip(settings, preps, obses):
+        for pos, bucket in enumerate(buckets):
+            grew = bucket.try_absorb(prep, obs, sett)
+            if grew is not None:
+                if grew:
+                    buckets.append(buckets.pop(pos))
+                break
+        else:
+            buckets.append(_TpbBucket(prep, obs, sett))
+    return ObservablesExperiment([b.members for b in buckets],
                                  program=obs_expt.program)
 
 
@@ -530,41 +595,75 @@ def generate_experiment_programs(obs_expt: ObservablesExperiment,
     return programs, meas_qubits
 
 
+def bitarray_to_moments(bitarray: np.ndarray, qubits: Sequence[int],
+                        observables: Sequence[PauliTerm],
+                        use_beta_dist_unbiased_prior: bool = False) \
+        -> Tuple[np.ndarray, np.ndarray]:
+    """Means and variances of MANY observables from one shot bit array.
+
+    One vectorized pass evaluates every observable simultaneously: the ±1
+    value of a Pauli product on a bitstring is (-1)^parity of the bits under
+    the observable's qubit mask, so a single {0,1} matmul
+    ``bitarray @ masks`` yields all parities at once. This replaces the
+    per-observable column-slice/product of reference
+    observable_estimation.py:804-855 and is the fast path wide experiments
+    (many settings per group) ride in ``estimate_observables``.
+
+    :param bitarray: (num_shots, len(qubits)) array of 0/1 measurement results.
+    :param qubits: qubit labels for the bitarray columns, in column order.
+    :param observables: Pauli terms; factors must act on qubits in ``qubits``
+        (identity terms allowed). Coefficients must be real.
+    :param use_beta_dist_unbiased_prior: estimate Bernoulli moments from a
+        Beta(n+ + 1, n- + 1) posterior (unbiased Bayes prior; precludes
+        var = 0) instead of the empirical moments.
+    :return: (means, variances), each of shape (len(observables),).
+    """
+    shots, ncols = bitarray.shape
+    assert ncols == len(qubits), \
+        "qubits should label each column of the bitarray"
+    col = {q: i for i, q in enumerate(qubits)}
+
+    coeffs = np.empty(len(observables))
+    masks = np.zeros((ncols, len(observables)), dtype=np.int64)
+    for j, obs in enumerate(observables):
+        c = complex(obs.coefficient)
+        if not np.isclose(c.imag, 0):
+            raise ValueError(
+                "The coefficient of an observable should not be complex.")
+        coeffs[j] = c.real
+        for q, _ in obs:
+            masks[col[q], j] = 1
+
+    parities = (bitarray.astype(np.int64) @ masks) & 1  # (shots, n_obs)
+    vals = 1 - 2 * parities
+
+    if use_beta_dist_unbiased_prior:
+        n_plus = np.count_nonzero(vals == 1, axis=0)
+        a, b = n_plus + 1.0, (shots - n_plus) + 1.0
+        bern_mean = a / (a + b)  # Beta posterior moments in closed form
+        bern_var = a * b / ((a + b) ** 2 * (a + b + 1))
+        means, variances = transform_bit_moments_to_pauli(bern_mean, bern_var)
+        means = coeffs * means
+        variances = coeffs ** 2 * variances
+    else:
+        means = coeffs * vals.mean(axis=0)
+        variances = coeffs ** 2 * vals.var(axis=0) / shots
+
+    is_identity = masks.sum(axis=0) == 0
+    means = np.where(is_identity, coeffs, means)
+    variances = np.where(is_identity, 0.0, variances)
+    return means, variances
+
+
 def shots_to_obs_moments(bitarray: np.ndarray, qubits: List[int],
                          observable: PauliTerm,
                          use_beta_dist_unbiased_prior: bool = False) \
         -> Tuple[float, float]:
-    """Mean and variance of the observable from a (shots, len(qubits)) bit array."""
-    coeff = complex(observable.coefficient)
-    if not np.isclose(coeff.imag, 0):
-        raise ValueError("The coefficient of an observable should not be complex.")
-    coeff = coeff.real
-
-    obs_qubits = observable.get_qubits()
-    idxs = [i for i, q in enumerate(qubits) if q in obs_qubits]
-    if len(idxs) == 0:  # identity term
-        return coeff, 0
-
-    assert bitarray.shape[1] == len(qubits), \
-        "qubits should label each column of the bitarray"
-    obs_strings = bitarray[:, idxs]
-    signs = 1 - 2 * obs_strings
-    obs_vals = np.prod(signs, axis=1)
-
-    if use_beta_dist_unbiased_prior:
-        plus_array = obs_vals == 1
-        n_minus, n_plus = np.bincount(plus_array, minlength=2)
-        bernoulli_mean = beta_dist.mean(n_plus + 1, n_minus + 1)
-        bernoulli_var = beta_dist.var(n_plus + 1, n_minus + 1)
-        obs_mean, obs_var = transform_bit_moments_to_pauli(bernoulli_mean,
-                                                           bernoulli_var)
-        obs_mean *= coeff
-        obs_var *= coeff ** 2
-    else:
-        obs_vals = coeff * obs_vals
-        obs_mean = float(np.mean(obs_vals))
-        obs_var = float(np.var(obs_vals)) / len(bitarray)
-    return obs_mean, obs_var
+    """Mean and variance of one observable from a (shots, len(qubits)) bit
+    array — the single-observable view of ``bitarray_to_moments``."""
+    means, variances = bitarray_to_moments(
+        bitarray, qubits, [observable], use_beta_dist_unbiased_prior)
+    return float(means[0]), float(variances[0])
 
 
 def estimate_observables(qc, obs_expt: ObservablesExperiment,
@@ -579,15 +678,19 @@ def estimate_observables(qc, obs_expt: ObservablesExperiment,
     """
     programs, meas_qubits = generate_experiment_programs(
         obs_expt, active_reset, use_basic_compile=use_basic_compile)
-    for prog, meas_qs, settings in zip(programs, meas_qubits, obs_expt):
+    groups = list(zip(programs, meas_qubits, obs_expt))
+    for prog, meas_qs, settings in progress_iter(groups, show_progress_bar,
+                                                 desc="estimate_observables"):
         results = qc.run_symmetrized_readout(prog, num_shots, symm_type,
                                              meas_qs or [0])
-        for setting in settings:
-            obs_mean, obs_var = shots_to_obs_moments(results, meas_qs,
-                                                     setting.observable)
+        # one vectorized pass over the bitarray evaluates every observable
+        # of the group simultaneously
+        means, variances = bitarray_to_moments(
+            results, meas_qs, [s.observable for s in settings])
+        for setting, obs_mean, obs_var in zip(settings, means, variances):
             yield ExperimentResult(
                 setting=setting,
-                expectation=obs_mean,
+                expectation=float(obs_mean),
                 std_err=float(np.sqrt(obs_var)),
                 total_counts=len(results),
             )
@@ -624,7 +727,8 @@ def calibrate_observable_estimates(qc, expt_results: List[ExperimentResult],
     observables = list(set(observables))
 
     calibrations = {}
-    for obs in observables:
+    for obs in progress_iter(observables, show_progress_bar,
+                             desc="calibrate_observable_estimates"):
         prog = get_calibration_program(obs, noisy_program, active_reset)
         meas_qs = obs.get_qubits()
         results = qc.run_symmetrized_readout(prog, num_shots, symm_type,

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from forest_benchmarking_tpu.circuits import Circuit, Gate
 from forest_benchmarking_tpu.ops.random_operators import haar_rand_unitary
-from forest_benchmarking_tpu.utils import bit_array_to_int
+from forest_benchmarking_tpu.utils import bit_array_to_int, progress_iter
 from forest_benchmarking_tpu.sim.statevector import apply_gate_matrix
 
 log = logging.getLogger(__name__)
@@ -114,7 +114,8 @@ def sample_rand_circuits_for_heavy_out(qc, qubits: Sequence[int], depth: int,
     if rng is None:
         rng = np.random
     num_heavy = 0
-    for _ in range(num_circuits):
+    for _ in progress_iter(range(num_circuits), show_progress_bar,
+                           desc=f"qv depth {depth}"):
         permutations, gates = generate_abstract_qv_circuit(depth, rng)
         if program_generator is None:
             program = abstract_circuit_to_circuit(qubits, permutations, gates)

@@ -21,7 +21,8 @@ from numpy import pi
 
 from forest_benchmarking_tpu.circuits import Circuit, DELAY, RX, RY, RZ, CZ
 from forest_benchmarking_tpu.paulis import PauliTerm
-from forest_benchmarking_tpu.utils import transform_pauli_moments_to_bit
+from forest_benchmarking_tpu.utils import (progress_iter,
+                                           transform_pauli_moments_to_bit)
 from forest_benchmarking_tpu.analysis.fitting import (
     FitResult, fit_decay_time_param_decay, fit_decaying_cosine,
     fit_shifted_cosine)
@@ -48,7 +49,8 @@ def acquire_qubit_spectroscopy_data(qc, experiments: Sequence[ObservablesExperim
         -> List[List[ExperimentResult]]:
     """Run each experiment in series; one result list per experiment."""
     results = []
-    for expt in experiments:
+    for expt in progress_iter(list(experiments), show_progress_bar,
+                              desc="acquire_qubit_spectroscopy_data"):
         results.append(list(estimate_observables(qc, expt, num_shots)))
     return results
 

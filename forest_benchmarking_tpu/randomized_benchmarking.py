@@ -24,7 +24,7 @@ import numpy as np
 
 from forest_benchmarking_tpu.circuits import Circuit, Gate, RX, RZ, CZ, merge_circuits
 from forest_benchmarking_tpu.paulis import all_traceless_pauli_z_terms
-from forest_benchmarking_tpu.utils import is_pos_pow_two
+from forest_benchmarking_tpu.utils import is_pos_pow_two, progress_iter
 from forest_benchmarking_tpu.analysis.fitting import fit_base_param_decay, FitResult
 from forest_benchmarking_tpu.clifford import generate_rb_sequence as _clifford_rb_sequence
 from forest_benchmarking_tpu.observable_estimation import (
@@ -174,7 +174,8 @@ def acquire_rb_data(qc, experiments: Iterable[ObservablesExperiment],
         -> List[List[ExperimentResult]]:
     """Run each experiment on the in-process QVM; list of result groups."""
     results = []
-    for expt in experiments:
+    for expt in progress_iter(list(experiments), show_progress_bar,
+                              desc="acquire_rb_data"):
         results.append(list(estimate_observables(qc, expt, num_shots,
                                                  active_reset=active_reset)))
     return results

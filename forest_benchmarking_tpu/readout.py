@@ -20,7 +20,8 @@ import numpy as np
 
 from forest_benchmarking_tpu.circuits import Circuit, RX
 from forest_benchmarking_tpu.utils import (
-    bitstring_prep, parameterized_bitstring_prep, bit_arrays_to_ints)
+    bitstring_prep, parameterized_bitstring_prep, bit_arrays_to_ints,
+    progress_iter)
 
 __all__ = ["get_flipped_circuit", "estimate_confusion_matrix",
            "estimate_joint_confusion_in_set", "marginalize_confusion_matrix",
@@ -66,7 +67,8 @@ def estimate_joint_confusion_in_set(qc, qubits: Sequence[int] = None,
     groups = list(itertools.combinations(qubits, joint_group_size))
     confusion_matrices = {}
     dim = 2 ** joint_group_size
-    for group in groups:
+    for group in progress_iter(groups, show_progress_bar,
+                               desc="joint confusion groups"):
         matrix = np.zeros((dim, dim))
         for row, bitstring in enumerate(itertools.product([0, 1],
                                                           repeat=joint_group_size)):
@@ -124,7 +126,8 @@ def estimate_joint_reset_confusion(qc, qubits: Sequence[int] = None,
     groups = list(itertools.combinations(qubits, joint_group_size))
     confusion_matrices = {}
     dim = 2 ** joint_group_size
-    for group in groups:
+    for group in progress_iter(groups, show_progress_bar,
+                               desc="reset confusion groups"):
         matrix = np.zeros((dim, dim))
         for row, bitstring in enumerate(itertools.product([0, 1],
                                                           repeat=joint_group_size)):

@@ -16,6 +16,7 @@ through quilc); everything else is host-side statistics over estimator output.
 """
 from __future__ import annotations
 
+import itertools
 import warnings
 from functools import reduce
 from operator import mul
@@ -26,7 +27,8 @@ from numpy import pi
 
 from forest_benchmarking_tpu.circuits import Circuit, Gate, merge_circuits
 from forest_benchmarking_tpu.paulis import PauliTerm
-from forest_benchmarking_tpu.utils import bloch_vector_to_standard_basis, is_pos_pow_two
+from forest_benchmarking_tpu.utils import (bloch_vector_to_standard_basis,
+                                           is_pos_pow_two, progress_iter)
 from forest_benchmarking_tpu.observable_estimation import (
     ExperimentSetting, ExperimentResult, ObservablesExperiment, _OneQState,
     TensorProductState, plusX, plusZ, minusZ, estimate_observables,
@@ -159,7 +161,8 @@ def acquire_rpe_data(qc, experiments: Sequence[ObservablesExperiment],
     depths = [2 ** idx for idx in range(len(experiments))]
     max_depth = max(depths)
     results = []
-    for depth, expt in zip(depths, experiments):
+    for depth, expt in progress_iter(list(zip(depths, experiments)),
+                                     show_progress_bar, desc="acquire_rpe_data"):
         theoretical_optimum = num_trials(depth, max_depth,
                                          multiplicative_factor, additive_error)
         num_shots = max(min_shots, theoretical_optimum)
@@ -201,31 +204,39 @@ def get_variance_upper_bound(num_depths: int, multiplicative_factor: float = 1.0
 
 def estimate_phase_from_moments(xs: List, ys: List, x_stds: List, y_stds: List,
                                 bloch_data: Optional[List] = None) -> float:
-    """Iterative octant-narrowing arctan estimate (section V of [RPE]).
+    """Iterative arctan range-narrowing phase estimate (section V of [RPE];
+    reference robust_phase_estimation.py:361-405).
 
-    Terminates early (with a warning) when the Bloch vector radius falls below
-    its std err — the decoherence-limited regime.
+    Iteration j measures the Bloch angle of the depth-2^j rotation, which
+    determines the phase modulo 2π/2^j; the running estimate selects the
+    unique representative inside the half-open window of width 2π/2^j
+    centered on the previous estimate. Stops early (with a warning) once the
+    measured Bloch-vector radius drops below its own standard error — past
+    that depth decoherence has scrambled the signal and deeper iterations
+    carry no phase information.
     """
-    theta_est = 0
-    for j, (x, y, x_std, y_std) in enumerate(zip(xs, ys, x_stds, y_stds)):
-        k = 2 ** j
-        r = np.sqrt(x ** 2 + y ** 2)
-        r_std = np.sqrt(x_std ** 2 + y_std ** 2)
-        if r < r_std:
-            warnings.warn("Decoherence limited estimate of phase {0:.3f} to "
-                          "depth {1:d}. You may want to increase the "
-                          "additive_error and/or multiplicative_factor and try "
-                          "again.".format(theta_est % (2 * pi), k // 2))
+    estimate = 0.0
+    for depth, x, y, x_std, y_std in zip(
+            (2 ** j for j in itertools.count()), xs, ys, x_stds, y_stds):
+        radius = np.hypot(x, y)
+        if radius < np.hypot(x_std, y_std):
+            warnings.warn(
+                f"RPE stopped at depth {depth // 2}: the Bloch-vector radius "
+                f"fell below its standard error, so the phase (current "
+                f"estimate {estimate % (2 * pi):.3f}) is decoherence-limited "
+                f"at greater depths. Raising additive_error or "
+                f"multiplicative_factor buys more shots per depth.")
             break
-        theta_j_est = np.arctan2(y, x) / k
-        plus_or_minus = pi / k
-        restricted_range = [theta_est - plus_or_minus, theta_est + plus_or_minus]
-        offset = (theta_j_est - restricted_range[0]) % (2 * plus_or_minus)
-        theta_est = offset + restricted_range[0]
-        assert restricted_range[0] <= theta_est < restricted_range[1]
+        # angle of the depth-fold rotation, i.e. the phase modulo 2*pi/depth
+        measured = np.arctan2(y, x) / depth
+        half_window = pi / depth
+        # representative of `measured` (mod 2*half_window) inside
+        # [estimate - half_window, estimate + half_window)
+        estimate += (measured - estimate + half_window) % (2 * half_window) \
+            - half_window
         if bloch_data is not None:
-            bloch_data.append((r, theta_est * k))
-    return theta_est % (2 * pi)
+            bloch_data.append((radius, estimate * depth))
+    return estimate % (2 * pi)
 
 
 def robust_phase_estimate(results: List[List[ExperimentResult]],

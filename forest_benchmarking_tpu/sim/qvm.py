@@ -165,22 +165,29 @@ class QVM:
         """Sample bitstrings; returns (num_shots, len(qubits)) 0/1 array.
 
         Column i is qubit ``qubits[i]`` (analog of pyquil's ro register order).
-        The whole simulate+sample runs as one jit with int output, so it works
-        on the axon TPU tunnel (no complex buffers cross the host boundary).
+        On accelerator backends the simulate+sample step runs through the
+        structure-keyed executable cache (sim.executor): circuits differing
+        only in gate values reuse one compiled program, and only int buffers
+        cross the host boundary (axon TPU tunnel constraint).
         """
         qubits = list(qubits)
         n = len(qubits)
-
-        def impl(key):
-            probs = self._probs_impl(circuit, qubits)
-            logits = jnp.log(jnp.clip(probs, jnp.finfo(probs.dtype).tiny, None))
-            ints = jax.random.categorical(key, logits, shape=(num_shots,))
-            shifts = jnp.arange(n - 1, -1, -1)
-            return (ints[:, None] >> shifts) & 1
-
         key = self._next_key()
-        bits = impl(key) if self._on_cpu() else jax.jit(impl)(key)
-        return np.asarray(bits, dtype=np.int64)
+
+        if self._on_cpu():
+            def impl(key):
+                probs = self._probs_impl(circuit, qubits)
+                logits = jnp.log(jnp.clip(probs,
+                                          jnp.finfo(probs.dtype).tiny, None))
+                ints = jax.random.categorical(key, logits, shape=(num_shots,))
+                shifts = jnp.arange(n - 1, -1, -1)
+                return (ints[:, None] >> shifts) & 1
+            return np.asarray(impl(key), dtype=np.int64)
+
+        from forest_benchmarking_tpu.sim.executor import build_plan, sample_bits
+        plan = build_plan(circuit, qubits, self.dtype,
+                          t1s=self.t1s, t2s=self.t2s, noisy=self.noisy)
+        return np.asarray(sample_bits(plan, num_shots, key), dtype=np.int64)
 
     def run_symmetrized_readout(self, circuit: Circuit, num_shots: int,
                                 symm_type: int = -1,
@@ -195,7 +202,11 @@ class QVM:
           *  0 — none
           *  1/2/3 — orthogonal array of the given strength (balances flip
             marginals over every 1/2/3-qubit subset with far fewer patterns)
+
+        ``meas_qubits`` defaults to the circuit's own qubits (sorted).
         """
+        if meas_qubits is None:
+            meas_qubits = sorted(circuit.get_qubits())
         meas_qubits = list(meas_qubits)
         if symm_type == 0:
             return self.run(circuit, meas_qubits, num_shots)
@@ -204,6 +215,21 @@ class QVM:
         n_patterns = len(patterns)
         base = num_shots // n_patterns
         rem = num_shots - base * n_patterns
+
+        if not self._on_cpu():
+            # one compiled executable + one dispatch for ALL patterns: the
+            # flip layer is a runtime argument (I or X per measured qubit)
+            from forest_benchmarking_tpu.sim.executor import (
+                build_plan, sample_bits_symmetrized)
+            plan = build_plan(circuit, meas_qubits, self.dtype,
+                              t1s=self.t1s, t2s=self.t2s, noisy=self.noisy)
+            shots_per = base + (1 if rem else 0)
+            bits = np.asarray(sample_bits_symmetrized(
+                plan, patterns, shots_per, self._next_key()), dtype=np.int64)
+            chunks = [bits[i, :base + (1 if i < rem else 0)]
+                      for i in range(n_patterns)]
+            return np.concatenate(chunks, axis=0)
+
         chunks = []
         for pat, flips in enumerate(patterns):
             shots = base + (1 if pat < rem else 0)

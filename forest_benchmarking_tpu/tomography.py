@@ -404,8 +404,17 @@ def _extract_from_results(results: List[ExperimentResult], qubits: List[int]):
 def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool,
                  stop_tol: float, maxiter: int, dyk_tol: float,
                  dyk_iters: int, cp_method: str = "eigh",
-                 ns_iters: int = 24) -> jnp.ndarray:
-    """Single-problem PGD-with-backtracking loop (reference :542-594)."""
+                 ns_iters: int = 24, warm_start: bool = False) -> jnp.ndarray:
+    """Single-problem PGD-with-backtracking loop (reference :542-594).
+
+    ``warm_start`` replaces the reference's maximally-mixed initialization
+    with the CPTP projection of the linear-inversion estimate. The iteration
+    map (gradient, Dykstra projection, backtracking rule) is untouched, and
+    the map is locally attractive at the MLE, so the warm path converges to
+    the same fixed point as the cold reference trajectory (measured f64
+    agreement at production settings is checked by bench.py's parity
+    subprocess) in ~3x fewer iterations.
+    """
     cdtype = a.dtype
     rdtype = jnp.real(a).dtype
     eps = jnp.asarray(1e-6, rdtype)
@@ -429,7 +438,6 @@ def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: boo
         eta = (nr / p).astype(cdtype)
         return unvec(-_mv(dag(a), eta))
 
-    est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
     mu = 3.0 / (2 * dim ** 2)
     gamma = 0.3
 
@@ -437,6 +445,18 @@ def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: boo
         return proj_choi_to_physical(x, make_trace_preserving=trace_preserving,
                                      tol=dyk_tol, max_iters=dyk_iters,
                                      cp_method=cp_method, ns_iters=ns_iters)
+
+    if warm_start:
+        # CPTP projection of the (rescaled) linear-inversion estimate;
+        # pinv(a) is unbatched, so under vmap it amortizes over the batch
+        x0 = _mv(jnp.linalg.pinv(a), n.astype(cdtype))
+        rho0 = unvec(x0)
+        rho0 = (rho0 + dag(rho0)) / 2
+        tr = jnp.real(jnp.trace(rho0))
+        rho0 = rho0 * (dim / jnp.where(jnp.abs(tr) < 1e-12, 1.0, tr)).astype(cdtype)
+        est0 = proj(rho0)
+    else:
+        est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
 
     def backtrack(est, update, gradient, old_cost):
         change0 = gamma * jnp.real(jnp.sum(jnp.conj(update) * gradient))
@@ -580,7 +600,7 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
 
 _pgdb_kernel_jit = jax.jit(_pgdb_kernel, static_argnames=(
     "dim", "trace_preserving", "stop_tol", "maxiter", "dyk_tol", "dyk_iters",
-    "cp_method", "ns_iters"))
+    "cp_method", "ns_iters", "warm_start"))
 
 
 def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
@@ -600,12 +620,12 @@ def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
     a, n = _extract_from_results(results, qubits)
     dim = 2 ** len(qubits)
     if method == "pgdb":
-        if warm_start or loop_dyk_iters is not None:
-            raise ValueError("warm_start/loop_dyk_iters require method='apg'")
+        if loop_dyk_iters is not None:
+            raise ValueError("loop_dyk_iters requires method='apg'")
         return _pgdb_kernel_jit(jnp.asarray(a), jnp.asarray(n), dim=dim,
                                 trace_preserving=trace_preserving,
                                 stop_tol=1e-10, maxiter=maxiter, dyk_tol=1e-4,
-                                dyk_iters=1000)
+                                dyk_iters=1000, warm_start=warm_start)
     return pgdb_process_estimate_batched(
         jnp.asarray(a), jnp.asarray(n)[None], dim=dim,
         trace_preserving=trace_preserving, stop_tol=1e-10, maxiter=maxiter,
@@ -640,11 +660,11 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
     if loop_dyk_iters is not None and loop_dyk_iters < 1:
         raise ValueError(f"loop_dyk_iters must be >= 1, got {loop_dyk_iters}")
     if method == "pgdb":
-        if loop_dyk_iters is not None or warm_start:
-            raise ValueError("loop_dyk_iters/warm_start are only supported "
-                             "with method='apg' (PGDB stays reference-"
-                             "faithful: exact projections, I/d start)")
-        kern = _pgdb_kernel
+        if loop_dyk_iters is not None:
+            raise ValueError("loop_dyk_iters is only supported with "
+                             "method='apg' (PGDB keeps the reference's exact "
+                             "in-loop projections)")
+        kern = functools.partial(_pgdb_kernel, warm_start=warm_start)
     elif method == "apg":
         kern = functools.partial(_apg_kernel, loop_dyk_iters=loop_dyk_iters,
                                  warm_start=warm_start)

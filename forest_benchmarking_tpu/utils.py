@@ -30,7 +30,7 @@ __all__ = [
     "all_traceless_pauli_strings", "all_traceless_pauli_choice_strings",
     "all_traceless_pauli_z_strings",
     "transform_pauli_moments_to_bit", "transform_bit_moments_to_pauli",
-    "pauli_string_to_matrix",
+    "pauli_string_to_matrix", "progress_iter",
 ]
 
 # single-qubit constants (complex128 host constants; device code casts as needed)
@@ -380,3 +380,21 @@ def prepare_all_prod_pauli_eigenstates(pauli_term):
             c += p
         out.append(c)
     return out
+
+
+def progress_iter(iterable, enabled: bool = False, desc: str = None,
+                  total: int = None):
+    """Wrap an iterable in a tqdm progress bar when ``enabled``.
+
+    Backs every public ``show_progress_bar`` kwarg (the analog of tqdm
+    threading in reference observable_estimation.py:902). Falls back to the
+    bare iterable if tqdm is unavailable, so acquisition never hard-depends
+    on it.
+    """
+    if not enabled:
+        return iterable
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        return iterable
+    return tqdm(iterable, desc=desc, total=total)

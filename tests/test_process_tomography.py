@@ -237,9 +237,13 @@ def test_warm_start_reaches_same_likelihood_plateau():
     assert llr < 5.0, llr                   # 1-sigma region is ~240
     assert float(jnp.abs(warm - cold).max()) < 5e-3  # shot noise is ~2e-2
 
-    with pytest.raises(ValueError, match="apg"):
-        pgdb_process_estimate_batched(a, n, dim=4, method="pgdb",
-                                      warm_start=True)
+    # PGDB also accepts a warm start (same iteration map, different init);
+    # it must land on the same likelihood plateau as the cold trajectory
+    warm_pgdb = pgdb_process_estimate_batched(a, n, dim=4, method="pgdb",
+                                              warm_start=True, maxiter=200)
+    llr_pgdb = float(jnp.max(cost(warm_pgdb) - cost(cold))) * 2 * grand_total
+    assert llr_pgdb < 5.0, llr_pgdb
+    assert float(jnp.abs(warm_pgdb - cold).max()) < 5e-3
 
 
 def test_loop_dyk_iters_validation():
