@@ -1,0 +1,481 @@
+"""Fused lanes-layout APG process-MLE solver (the TPU flagship kernel).
+
+Solves the PGDB maximum-likelihood problem (reference
+forest/benchmarking/tomography.py:542-594: min -sum n log(A vec(E)) over CPTP
+Choi matrices E) with an accelerated projected-gradient iteration whose EVERY
+step — gradient matmuls, Dykstra alternating projection with a Jacobi
+eigensolver, Nesterov momentum with function restart — runs in a single fused
+kernel over a "lanes" data layout: batched matrices are (d2, d2, B) real/imag
+planes with the batch B in the TPU lane dimension, so Jacobi rotations and
+projections are elementwise VPU ops across the whole batch and the A-matrix
+contractions are (R, d4) x (d4, B) MXU matmuls.
+
+Key algorithmic points vs the per-problem ``lax.while_loop`` kernels in
+``tomography.py``:
+
+- **Warm eigenbasis (V-carry)**: consecutive Dykstra/APG iterates are close,
+  so the eigenvector matrix V from the previous CP projection nearly
+  diagonalizes the next one. Each CP projection rotates into the carried
+  basis (M = V^dag H V), runs 1-2 Jacobi sweeps, and reconstructs — instead
+  of ~6 cold sweeps per projection.
+- **Static phase schedule**: iteration counts are compile-time constants
+  (tuples of (outer_iters, dykstra_iters, jacobi_sweeps)), so the kernel has
+  no data-dependent control flow at all; early phases use cheap inexact
+  projections and the final phase uses accurate ones. The returned estimate
+  always ends on a trace-preserving Dykstra half-step (exactly TP, CP to the
+  schedule's accuracy).
+- The same pure-jnp function runs under plain XLA on any backend (used for
+  float64 parity measurements vs the reference algorithm) and inside a
+  ``pallas_call`` on TPU, where the whole solve stays VMEM-resident.
+
+Numerical contract: with the default ``PARITY_PHASES`` schedule the float64
+estimate agrees with the fully converged reference PGDB optimum (tight
+Dykstra) to < 1e-6 max elementwise deviation — measured by bench.py's parity
+subprocess, cf. docs/performance.md.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "raster_a_matrix", "apg_fused_lanes", "apg_fused", "dykstra_fused_lanes",
+    "PARITY_PHASES", "HEADLINE_PHASES",
+]
+
+
+def _round_robin_pairs(n: int):
+    """n-1 rounds of n/2 disjoint index pairs covering every pair exactly once."""
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        pairs = []
+        for i in range(n // 2):
+            a, b = players[i], players[n - 1 - i]
+            pairs.append((min(a, b), max(a, b)))
+        rounds.append(pairs)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return rounds
+
+
+# ----------------------------------------------------------------------
+# Lanes-layout building blocks (pure jnp; Pallas-lowerable: no gather/scatter)
+# ----------------------------------------------------------------------
+
+def _rotation_coeffs(apq_r, apq_i, app, aqq, eps):
+    """Jacobi rotation coefficients (c, s, e_r, e_i), vectorized per lane."""
+    m2 = apq_r * apq_r + apq_i * apq_i
+    m = jnp.sqrt(m2)
+    small = m < eps
+    msafe = jnp.where(small, 1.0, m)
+    e_r = jnp.where(small, 1.0, apq_r / msafe)
+    e_i = jnp.where(small, 0.0, apq_i / msafe)
+    tau = (aqq - app) / (2 * msafe)
+    sign_tau = jnp.where(tau < 0, -1.0, 1.0)
+    t = jnp.where(tau == 0.0, 1.0,
+                  sign_tau / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau)))
+    c = jax.lax.rsqrt(1 + t * t)
+    s = t * c
+    c = jnp.where(small, 1.0, c)
+    s = jnp.where(small, 0.0, s)
+    return c, s, e_r, e_i
+
+
+def _sweep(a_r, a_i, v_r, v_i, eps, rounds, n):
+    """One cyclic-Jacobi sweep on (n, n, B) planes, rotating A and V jointly.
+
+    Row/column movement is static slices + concatenate only (Pallas TPU lowers
+    neither gather nor scatter).
+    """
+    npairs = n // 2
+
+    def cmul(xr, xi, yr, yi):
+        return xr * yr - xi * yi, xr * yi + xi * yr
+
+    def rows_perm(a, order):
+        return jnp.concatenate([a[i:i + 1] for i in order], axis=0)
+
+    def cols_perm(a, order):
+        return jnp.concatenate([a[:, i:i + 1] for i in order], axis=1)
+
+    for pairs in rounds:
+        order = [x for pr in pairs for x in pr]
+        inv = [0] * n
+        for newpos, i in enumerate(order):
+            inv[i] = newpos
+
+        apq_r = jnp.concatenate([a_r[p:p + 1, q] for (p, q) in pairs], axis=0)
+        apq_i = jnp.concatenate([a_i[p:p + 1, q] for (p, q) in pairs], axis=0)
+        app = jnp.concatenate([a_r[p:p + 1, p] for (p, _) in pairs], axis=0)
+        aqq = jnp.concatenate([a_r[q:q + 1, q] for (_, q) in pairs], axis=0)
+        c, s, e_r, e_i = _rotation_coeffs(apq_r, apq_i, app, aqq, eps)
+        ebar_r, ebar_i = e_r, -e_i
+        cN, sN = c[:, None], s[:, None]
+        erN, eiN = e_r[:, None], e_i[:, None]
+        ebrN, ebiN = ebar_r[:, None], ebar_i[:, None]
+
+        def rotate_cols(x_r, x_i):
+            xp_r = cols_perm(x_r, order).reshape(n, npairs, 2, -1)
+            xp_i = cols_perm(x_i, order).reshape(n, npairs, 2, -1)
+            pr_, pi_ = xp_r[:, :, 0], xp_i[:, :, 0]
+            qr_, qi_ = xp_r[:, :, 1], xp_i[:, :, 1]
+            tq = cmul(ebar_r, ebar_i, qr_, qi_)
+            new_p = (c * pr_ - s * tq[0], c * pi_ - s * tq[1])
+            tp = cmul(e_r, e_i, pr_, pi_)
+            new_q = (s * tp[0] + c * qr_, s * tp[1] + c * qi_)
+            out_r = jnp.stack([new_p[0], new_q[0]], axis=2).reshape(n, n, -1)
+            out_i = jnp.stack([new_p[1], new_q[1]], axis=2).reshape(n, n, -1)
+            return cols_perm(out_r, inv), cols_perm(out_i, inv)
+
+        a_r, a_i = rotate_cols(a_r, a_i)
+
+        ar_p = rows_perm(a_r, order).reshape(npairs, 2, n, -1)
+        ai_p = rows_perm(a_i, order).reshape(npairs, 2, n, -1)
+        pr_, pi_ = ar_p[:, 0], ai_p[:, 0]
+        qr_, qi_ = ar_p[:, 1], ai_p[:, 1]
+        tq = cmul(erN, eiN, qr_, qi_)
+        new_pr, new_pi = cN * pr_ - sN * tq[0], cN * pi_ - sN * tq[1]
+        tp = cmul(ebrN, ebiN, pr_, pi_)
+        new_qr, new_qi = sN * tp[0] + cN * qr_, sN * tp[1] + cN * qi_
+        out_r = jnp.stack([new_pr, new_qr], axis=1).reshape(n, n, -1)
+        out_i = jnp.stack([new_pi, new_qi], axis=1).reshape(n, n, -1)
+        a_r, a_i = rows_perm(out_r, inv), rows_perm(out_i, inv)
+
+        v_r, v_i = rotate_cols(v_r, v_i)
+    return a_r, a_i, v_r, v_i
+
+
+def _cmm(ar, ai, br, bi, n):
+    """Per-problem complex matmul on (n, n, B) planes: C = A @ B.
+
+    Unrolled over the contraction index as broadcast FMAs (VPU-friendly)."""
+    cr = ar[:, 0:1] * br[0:1] - ai[:, 0:1] * bi[0:1]
+    ci = ar[:, 0:1] * bi[0:1] + ai[:, 0:1] * br[0:1]
+    for k in range(1, n):
+        akr, aki = ar[:, k:k + 1], ai[:, k:k + 1]   # (n, 1, B)
+        bkr, bki = br[k:k + 1], bi[k:k + 1]         # (1, n, B)
+        cr = cr + akr * bkr - aki * bki
+        ci = ci + akr * bki + aki * bkr
+    return cr, ci
+
+
+def _cmm_hconj_left(vr, vi, br, bi, n):
+    """C = V^dag @ B on (n, n, B) planes: C[i,j] = sum_k conj(V[k,i]) B[k,j]."""
+    def row(a, k):
+        return jnp.swapaxes(a[k:k + 1], 0, 1)      # (n, 1, B): V[k, i] over i
+    cr = row(vr, 0) * br[0:1] + row(vi, 0) * bi[0:1]
+    ci = row(vr, 0) * bi[0:1] - row(vi, 0) * br[0:1]
+    for k in range(1, n):
+        vkr, vki = row(vr, k), row(vi, k)
+        bkr, bki = br[k:k + 1], bi[k:k + 1]
+        cr = cr + vkr * bkr + vki * bki
+        ci = ci + vkr * bki - vki * bkr
+    return cr, ci
+
+
+def _hermitianize(xr, xi):
+    return (xr + jnp.swapaxes(xr, 0, 1)) / 2, (xi - jnp.swapaxes(xi, 0, 1)) / 2
+
+
+def _warm_cp(hr, hi, vr, vi, sweeps, rounds, n, eps):
+    """CP projection with a carried eigenbasis: rotate H into the previous
+    eigenbasis V, run ``sweeps`` Jacobi sweeps, clip negative eigenvalues,
+    reconstruct. Returns (pos_r, pos_i, V'_r, V'_i)."""
+    hr, hi = _hermitianize(hr, hi)
+    # M = V^dag H V  (near-diagonal when V is warm)
+    tr, ti = _cmm(hr, hi, vr, vi, n)
+    mr, mi = _cmm_hconj_left(vr, vi, tr, ti, n)
+    ar, ai, wr, wi = _sweep(mr, mi, vr, vi, eps, rounds, n) \
+        if sweeps == 1 else _multi_sweep(mr, mi, vr, vi, eps, rounds, n, sweeps)
+    # eigenvalues on the diagonal; clip and reconstruct pos = W w+ W^dag
+    pos_r = jnp.zeros_like(hr)
+    pos_i = jnp.zeros_like(hi)
+    for k in range(n):
+        w = jnp.maximum(ar[k, k], 0.0)             # (B,)
+        wkr, wki = wr[:, k], wi[:, k]               # (n, B)
+        xr_ = (wkr * w)[:, None, :]
+        xi_ = (wki * w)[:, None, :]
+        yr_ = wkr[None, :, :]
+        yi_ = -wki[None, :, :]
+        pos_r = pos_r + xr_ * yr_ - xi_ * yi_
+        pos_i = pos_i + xr_ * yi_ + xi_ * yr_
+    return pos_r, pos_i, wr, wi
+
+
+def _multi_sweep(mr, mi, vr, vi, eps, rounds, n, sweeps):
+    for _ in range(sweeps):
+        mr, mi, vr, vi = _sweep(mr, mi, vr, vi, eps, rounds, n)
+    return mr, mi, vr, vi
+
+
+def _proj_tp(xr, xi, dim):
+    """Trace-preserving projection on (d2, d2, B) planes (eq. 12 of [PGD]):
+    X - kron(Tr_out(X) - I, I) / dim, with Tr_out the keep=[0] partial trace."""
+    b = xr.shape[-1]
+    x5r = xr.reshape(dim, dim, dim, dim, b)
+    x5i = xi.reshape(dim, dim, dim, dim, b)
+    eye = jnp.eye(dim, dtype=xr.dtype)[None, :, None, :, None]
+    pt_r = jnp.sum(x5r * eye, axis=(1, 3))          # (dim, dim, B)
+    pt_i = jnp.sum(x5i * eye, axis=(1, 3))
+    dr = (pt_r - jnp.eye(dim, dtype=xr.dtype)[:, :, None]) / dim
+    di = pt_i / dim
+    cr = dr[:, None, :, None, :] * eye
+    ci = di[:, None, :, None, :] * eye
+    return (x5r - cr).reshape(dim * dim, dim * dim, b), \
+        (x5i - ci).reshape(dim * dim, dim * dim, b)
+
+
+def _dykstra(zr, zi, vr, vi, iters, sweeps, dim, rounds, eps):
+    """``iters`` Dykstra alternating-projection iterations (CP then TP) with
+    the warm-V CP projection; ends on the TP half-step (exactly TP output).
+
+    Runs as a ``fori_loop`` so the traced graph holds ONE iteration body
+    (compile-time matters: the sweep is heavily unrolled)."""
+    n = dim * dim
+
+    def body(_, carry):
+        cp_ch_r, cp_ch_i, tp_ch_r, tp_ch_i, st_r, st_i, vr, vi = carry
+        pre_r, pre_i = st_r - cp_ch_r, st_i - cp_ch_i
+        cp_r, cp_i, vr, vi = _warm_cp(pre_r, pre_i, vr, vi, sweeps, rounds, n,
+                                      eps)
+        cp_ch_r, cp_ch_i = cp_r - pre_r, cp_i - pre_i
+        pre_r, pre_i = cp_r - tp_ch_r, cp_i - tp_ch_i
+        st_r, st_i = _proj_tp(pre_r, pre_i, dim)
+        tp_ch_r, tp_ch_i = st_r - pre_r, st_i - pre_i
+        return (cp_ch_r, cp_ch_i, tp_ch_r, tp_ch_i, st_r, st_i, vr, vi)
+
+    zeros = jnp.zeros_like(zr)
+    carry = (zeros, zeros, zeros, zeros, zr, zi, vr, vi)
+    carry = jax.lax.fori_loop(0, iters, body, carry)
+    return carry[4], carry[5], carry[6], carry[7]
+
+
+# ----------------------------------------------------------------------
+# Host-side A-matrix preparation
+# ----------------------------------------------------------------------
+
+def raster_a_matrix(a: np.ndarray, d2: int) -> np.ndarray:
+    """Permute the PGDB A-matrix columns from vec (column-stacking) order to
+    the raster order of (d2, d2, B) plane flattening, so that
+    ``A_raster @ X.reshape(d2*d2, B) == A @ vec(X)`` per lane."""
+    return np.asarray(a).reshape(-1, d2, d2).transpose(0, 2, 1).reshape(
+        a.shape[0], d2 * d2)
+
+
+# ----------------------------------------------------------------------
+# The fused solver (pure jnp — runs under XLA anywhere, or inside Pallas)
+# ----------------------------------------------------------------------
+
+# (outer_iters, dykstra_iters, jacobi_sweeps) — early phases take cheap
+# inexact proximal steps, the last phase accurate ones. Tuned against the
+# f64 tight-projection reference optimum (see module docstring).
+PARITY_PHASES: Tuple[Tuple[int, int, int], ...] = (
+    (12, 1, 1), (10, 2, 1), (28, 6, 1))
+HEADLINE_PHASES: Tuple[Tuple[int, int, int], ...] = ((25, 1, 1),)
+
+
+def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
+                    phases: Sequence[Tuple[int, int, int]] = PARITY_PHASES,
+                    init_iters: int = 8, init_sweeps: int = 3,
+                    final_iters: int = 20, final_sweeps: int = 1,
+                    mu: float = None):
+    """Run the fused APG solve on lanes-layout inputs.
+
+    :param ar, ai: (R, d4) real/imag planes of the raster-ordered A-matrix
+        (the gradient contraction reuses the same arrays with transposed
+        dimension numbers — no transposed copies are materialized).
+    :param n_mat: (R, B) normalized counts, one column per problem.
+    :param rho0_r, rho0_i: (d2, d2, B) linear-inversion (or any) starting
+        matrices; they are Dykstra-projected before the first gradient step.
+    :param phases: static schedule of (outer_iters, dykstra_iters, sweeps).
+    :param init_iters/init_sweeps: Dykstra schedule for projecting rho0 (the
+        first projection runs cold, so it gets extra sweeps).
+    :param final_iters/final_sweeps: the converged projection applied to the
+        returned estimate (ends on the TP half-step; exactly TP).
+    :return: (est_r, est_i) planes of shape (d2, d2, B).
+    """
+    n = dim * dim
+    rounds = _round_robin_pairs(n)
+    rdtype = ar.dtype
+    b = n_mat.shape[-1]
+    eps_rot = jnp.asarray(1e-30 if rdtype == jnp.float64 else 1e-18, rdtype)
+    eps_p = jnp.asarray(1e-6, rdtype)
+    if mu is None:
+        mu = 3.0 / (2 * dim ** 2)
+    inv_mu = jnp.asarray(1.0 / mu, rdtype)
+
+    def prob(xr, xi):
+        """p = Re(A vec(X)) >= eps, shape (R, B)."""
+        vrr = xr.reshape(n * n, b)
+        vii = xi.reshape(n * n, b)
+        p = jnp.dot(ar, vrr, preferred_element_type=rdtype) - \
+            jnp.dot(ai, vii, preferred_element_type=rdtype)
+        return jnp.maximum(p, eps_p)
+
+    def cost(xr, xi):
+        p = prob(xr, xi)
+        return -jnp.sum(n_mat * jnp.log(p), axis=0, keepdims=True)  # (1, B)
+
+    def grad(xr, xi):
+        eta = n_mat / prob(xr, xi)
+        # A^T eta without materializing A^T: contract over the row axis
+        tdot = lambda m: jax.lax.dot_general(
+            m, eta, (((0,), (0,)), ((), ())), preferred_element_type=rdtype)
+        gr = -tdot(ar)
+        gi = tdot(ai)
+        return gr.reshape(n, n, b), gi.reshape(n, n, b)
+
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=rdtype)[:, :, None], (n, n, b))
+    v_r, v_i = eye, jnp.zeros_like(eye)
+
+    # warm start: Dykstra-project rho0 (first CP projection runs cold)
+    est_r, est_i, v_r, v_i = _dykstra(rho0_r, rho0_i, v_r, v_i, init_iters,
+                                      init_sweeps, dim, rounds, eps_rot)
+    prev_r, prev_i = est_r, est_i
+    t = jnp.ones((1, b), rdtype)
+    old_cost = cost(est_r, est_i)
+
+    for (iters, ld, sweeps) in phases:
+        def body(_, carry):
+            est_r, est_i, prev_r, prev_i, v_r, v_i, t, old_cost = carry
+            t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+            beta = ((t - 1) / t_next)[None]          # (1, 1, B)
+            y_r = est_r + beta * (est_r - prev_r)
+            y_i = est_i + beta * (est_i - prev_i)
+            g_r, g_i = grad(y_r, y_i)
+            z_r = y_r - inv_mu * g_r
+            z_i = y_i - inv_mu * g_i
+            cand_r, cand_i, v_r, v_i = _dykstra(z_r, z_i, v_r, v_i, ld,
+                                                sweeps, dim, rounds, eps_rot)
+            new_cost = cost(cand_r, cand_i)
+            # O'Donoghue-Candes function restart
+            t_next = jnp.where(new_cost > old_cost, jnp.ones_like(t_next),
+                               t_next)
+            return (cand_r, cand_i, est_r, est_i, v_r, v_i, t_next, new_cost)
+
+        carry = (est_r, est_i, prev_r, prev_i, v_r, v_i, t, old_cost)
+        carry = jax.lax.fori_loop(0, iters, body, carry)
+        est_r, est_i, prev_r, prev_i, v_r, v_i, t, old_cost = carry
+
+    est_r, est_i, _, _ = _dykstra(est_r, est_i, v_r, v_i, final_iters,
+                                  final_sweeps, dim, rounds, eps_rot)
+    return est_r, est_i
+
+
+def dykstra_fused_lanes(xr, xi, *, dim: int, iters: int, sweeps: int = 2,
+                        init_sweeps: int = 3):
+    """Standalone fused Dykstra CPTP projection on lanes planes (warm-V)."""
+    n = dim * dim
+    rounds = _round_robin_pairs(n)
+    b = xr.shape[-1]
+    eps_rot = jnp.asarray(1e-30 if xr.dtype == jnp.float64 else 1e-18,
+                          xr.dtype)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=xr.dtype)[:, :, None], (n, n, b))
+    # first iteration cold (extra sweeps), rest warm
+    st_r, st_i, v_r, v_i = _dykstra(xr, xi, eye, jnp.zeros_like(eye), 1,
+                                    init_sweeps, dim, rounds, eps_rot)
+    if iters > 1:
+        # continue with the dual variables reset is NOT Dykstra; re-run full
+        # loop warm instead: cheap because V is now warm.
+        st_r, st_i, v_r, v_i = _dykstra(xr, xi, v_r, v_i, iters, sweeps, dim,
+                                        rounds, eps_rot)
+    return st_r, st_i
+
+
+# ----------------------------------------------------------------------
+# Batched entry point: (B, d2, d2) complex -> (B, d2, d2) complex
+# ----------------------------------------------------------------------
+
+def _have_pallas() -> bool:
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dim", "phases", "init_iters", "init_sweeps", "final_iters",
+    "final_sweeps", "block", "use_pallas"))
+def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
+              phases: Tuple[Tuple[int, int, int], ...] = PARITY_PHASES,
+              init_iters: int = 8, init_sweeps: int = 3,
+              final_iters: int = 20, final_sweeps: int = 1,
+              block: int = 128, use_pallas: bool = True) -> jnp.ndarray:
+    """Fused-APG batched PGDB MLE: (R, d4) A-matrix (vec order, as used by
+    ``pgdb_process_estimate_batched``), (B, R) counts -> (B, d2, d2) Chois.
+
+    Warm-starts from the linear-inversion estimate (pinv(A) n), then runs the
+    static-schedule fused APG. On TPU the solve runs as a Pallas kernel over
+    batch blocks (whole solver VMEM-resident); elsewhere the identical jnp
+    code runs under XLA — same numerics.
+    """
+    d2 = dim * dim
+    rdtype = jnp.real(a).dtype
+    # host-order preparation inside jit: raster-permute A columns
+    a_rast = a.reshape(-1, d2, d2).transpose(0, 2, 1).reshape(a.shape[0], -1)
+    ar = jnp.real(a_rast).astype(rdtype)
+    ai = jnp.imag(a_rast).astype(rdtype)
+
+    # linear-inversion warm start (shared pinv, batched matvec)
+    x0 = jnp.linalg.pinv(a) @ n_counts.astype(a.dtype).T   # (d4, B) vec order
+    b = n_counts.shape[0]
+    rho0 = x0.T.reshape(b, d2, d2).transpose(0, 2, 1)       # unvec (col-stack)
+    rho0 = (rho0 + jnp.conj(jnp.swapaxes(rho0, -1, -2))) / 2
+    tr = jnp.real(jnp.trace(rho0, axis1=-2, axis2=-1))
+    scale = (dim / jnp.where(jnp.abs(tr) < 1e-12, 1.0, tr)).astype(rho0.dtype)
+    rho0 = rho0 * scale[:, None, None]
+    # lanes layout
+    rho0_r = jnp.transpose(jnp.real(rho0), (1, 2, 0)).astype(rdtype)
+    rho0_i = jnp.transpose(jnp.imag(rho0), (1, 2, 0)).astype(rdtype)
+    n_mat = n_counts.T.astype(rdtype)                        # (R, B)
+
+    kw = dict(dim=dim, phases=tuple(phases), init_iters=init_iters,
+              init_sweeps=init_sweeps, final_iters=final_iters,
+              final_sweeps=final_sweeps)
+
+    if use_pallas and _have_pallas() and b % block == 0 and b >= block:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel(ar_ref, ai_ref, n_ref, r0r_ref, r0i_ref,
+                   outr_ref, outi_ref):
+            er, ei = apg_fused_lanes(ar_ref[:], ai_ref[:], n_ref[:],
+                                     r0r_ref[:], r0i_ref[:], **kw)
+            outr_ref[:] = er
+            outi_ref[:] = ei
+
+        grid = (b // block,)
+        r_rows = ar.shape[0]
+        mat_spec = pl.BlockSpec((d2, d2, block), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        shared2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM)
+        try:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        except TypeError:  # older jax spelling
+            compiler_params = pltpu.TPUCompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        est_r, est_i = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[shared2(ar.shape), shared2(ai.shape),
+                      pl.BlockSpec((r_rows, block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      mat_spec, mat_spec],
+            out_specs=[mat_spec, mat_spec],
+            out_shape=[jax.ShapeDtypeStruct((d2, d2, b), rdtype),
+                       jax.ShapeDtypeStruct((d2, d2, b), rdtype)],
+            compiler_params=compiler_params,
+        )(ar, ai, n_mat, rho0_r, rho0_i)
+    else:
+        est_r, est_i = apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, **kw)
+
+    est = est_r + 1j * est_i
+    return jnp.transpose(est, (2, 0, 1)).astype(a.dtype)

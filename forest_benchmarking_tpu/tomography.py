@@ -656,7 +656,25 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
     ``loop_dyk_iters`` (APG only) caps the Dykstra loop inside the descent
     iterations; the result still gets a final converged projection, so it is
     always CPTP. See :func:`_apg_kernel`.
+
+    ``cp_method="pallas"`` (APG only) selects the fused lanes-layout solver
+    (:func:`~forest_benchmarking_tpu.ops.lanes_apg.apg_fused`): the whole
+    solve — gradients, Dykstra with a warm-eigenbasis Jacobi CP projection,
+    momentum — runs as one VMEM-resident TPU Pallas kernel (plain XLA on
+    other backends, same numerics). It uses a static iteration schedule
+    tuned so the f64 estimate matches the converged reference optimum to
+    < 1e-6 (the BASELINE parity bar); ``stop_tol``/``maxiter``/``dyk_*``/
+    ``warm_start``/``loop_dyk_iters`` do not apply (the warm start is
+    built in).
     """
+    if cp_method == "pallas":
+        if method != "apg":
+            raise ValueError("cp_method='pallas' requires method='apg'")
+        if not trace_preserving:
+            raise ValueError("cp_method='pallas' implements the CPTP "
+                             "projection only (trace_preserving=True)")
+        from forest_benchmarking_tpu.ops.lanes_apg import apg_fused
+        return apg_fused(a, n, dim=dim)
     if loop_dyk_iters is not None and loop_dyk_iters < 1:
         raise ValueError(f"loop_dyk_iters must be >= 1, got {loop_dyk_iters}")
     if method == "pgdb":

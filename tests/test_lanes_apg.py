@@ -1,0 +1,138 @@
+"""Tests for the fused lanes-layout APG solver (ops/lanes_apg.py).
+
+Strategy mirrors the rest of the suite: building blocks against independent
+numpy oracles, then end-to-end f64 parity of the full fused solve against the
+tight-projection converged reference optimum (the same bar bench.py reports).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
+                                                synth_process_datasets)
+from forest_benchmarking_tpu.ops.lanes_apg import (
+    apg_fused, apg_fused_lanes, raster_a_matrix, _proj_tp, _warm_cp,
+    _round_robin_pairs)
+from forest_benchmarking_tpu.ops.superoperator_transformations import vec
+from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
+from oracles import np_proj_cp, np_proj_tp
+
+
+def _rand_herm_batch(rng, n, b):
+    x = rng.randn(b, n, n) + 1j * rng.randn(b, n, n)
+    return (x + x.conj().transpose(0, 2, 1)) / 2
+
+
+def _to_lanes(x):
+    return (jnp.asarray(np.real(x).transpose(1, 2, 0)),
+            jnp.asarray(np.imag(x).transpose(1, 2, 0)))
+
+
+def _from_lanes(xr, xi):
+    return (np.asarray(xr) + 1j * np.asarray(xi)).transpose(2, 0, 1)
+
+
+def test_proj_tp_lanes_matches_oracle(rng):
+    x = rng.randn(3, 16, 16) + 1j * rng.randn(3, 16, 16)
+    xr, xi = _to_lanes(x)
+    out = _from_lanes(*_proj_tp(xr, xi, 4))
+    want = np.stack([np_proj_tp(x[i]) for i in range(3)])
+    np.testing.assert_allclose(out, want, atol=1e-12)
+
+
+def test_warm_cp_cold_matches_eigh_positive_part(rng):
+    h = _rand_herm_batch(rng, 16, 3)
+    hr, hi = _to_lanes(h)
+    eye = jnp.broadcast_to(jnp.eye(16)[:, :, None], (16, 16, 3)).astype(hr.dtype)
+    rounds = _round_robin_pairs(16)
+    pos_r, pos_i, _, _ = _warm_cp(hr, hi, eye, jnp.zeros_like(eye), 10,
+                                  rounds, 16, jnp.asarray(1e-30))
+    out = _from_lanes(pos_r, pos_i)
+    want = np.stack([np_proj_cp(h[i]) for i in range(3)])
+    np.testing.assert_allclose(out, want, atol=1e-10)
+
+
+def test_warm_cp_warm_basis_single_sweep(rng):
+    """A 1-sweep projection from the previous eigenbasis matches the exact
+    positive part on a nearby matrix (the in-Dykstra warm-V regime)."""
+    h = _rand_herm_batch(rng, 16, 2)
+    hr, hi = _to_lanes(h)
+    eye = jnp.broadcast_to(jnp.eye(16)[:, :, None], (16, 16, 2)).astype(hr.dtype)
+    rounds = _round_robin_pairs(16)
+    _, _, vr, vi = _warm_cp(hr, hi, eye, jnp.zeros_like(eye), 10, rounds, 16,
+                            jnp.asarray(1e-30))
+    h2 = h + 1e-3 * _rand_herm_batch(rng, 16, 2)
+    h2r, h2i = _to_lanes(h2)
+    want = np.stack([np_proj_cp(h2[i]) for i in range(2)])
+    eps = jnp.asarray(1e-30)
+    pos_r, pos_i, _, _ = _warm_cp(h2r, h2i, vr, vi, 1, rounds, 16, eps)
+    warm_err = np.max(np.abs(_from_lanes(pos_r, pos_i) - want))
+    cold_r, cold_i, _, _ = _warm_cp(h2r, h2i, eye, jnp.zeros_like(eye), 1,
+                                    rounds, 16, eps)
+    cold_err = np.max(np.abs(_from_lanes(cold_r, cold_i) - want))
+    # the carried eigenbasis makes a single sweep dramatically more accurate
+    assert warm_err < 1e-4
+    assert warm_err < cold_err / 100
+
+
+def test_raster_a_matrix_reorders_vec(rng):
+    a = process_tomo_A_matrix(1)
+    x = rng.randn(4, 4) + 1j * rng.randn(4, 4)
+    want = a @ np.asarray(vec(jnp.asarray(x)))[:, 0]
+    got = raster_a_matrix(a, 4) @ x.reshape(-1)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_apg_fused_output_exactly_tp():
+    a = process_tomo_A_matrix(2)
+    n, _ = synth_process_datasets(jax.random.PRNGKey(0), jnp.asarray(a), 4, 2,
+                                  500, dtype=jnp.float64)
+    est = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False,
+                               phases=((2, 1, 1),), init_iters=2,
+                               final_iters=2))
+    pt = np.trace(est.reshape(-1, 4, 4, 4, 4), axis1=2, axis2=4)
+    np.testing.assert_allclose(pt, np.broadcast_to(np.eye(4), pt.shape),
+                               atol=1e-14)
+
+
+@pytest.mark.slow
+def test_apg_fused_parity_vs_tight_reference():
+    """f64 deviation of the production parity schedule vs the converged
+    tight-projection reference optimum is < 1e-6 (the BASELINE parity bar;
+    bench.py measures the same quantity)."""
+    a = process_tomo_A_matrix(2)
+    n, _ = synth_process_datasets(jax.random.PRNGKey(7), jnp.asarray(a), 4, 4,
+                                  2000, dtype=jnp.float64)
+    tight = np.asarray(pgdb_process_estimate_batched(
+        jnp.asarray(a), n, dim=4, stop_tol=1e-14, maxiter=3000,
+        dyk_tol=1e-10, dyk_iters=500))
+    est = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False))
+    assert np.max(np.abs(est - tight)) < 1e-6
+
+
+@pytest.mark.slow
+def test_apg_fused_1q():
+    """The fused solver generalizes to 1Q (dim=2) problems."""
+    a = process_tomo_A_matrix(1)
+    n, chois = synth_process_datasets(jax.random.PRNGKey(3), jnp.asarray(a),
+                                      2, 4, 4000, dtype=jnp.float64)
+    tight = np.asarray(pgdb_process_estimate_batched(
+        jnp.asarray(a), n, dim=2, stop_tol=1e-14, maxiter=3000,
+        dyk_tol=1e-10, dyk_iters=500))
+    est = np.asarray(apg_fused(jnp.asarray(a), n, dim=2, use_pallas=False))
+    assert np.max(np.abs(est - tight)) < 1e-6
+
+
+@pytest.mark.slow
+def test_pgdb_batched_cp_method_pallas_routes_to_fused():
+    a = process_tomo_A_matrix(2)
+    n, _ = synth_process_datasets(jax.random.PRNGKey(5), jnp.asarray(a), 4, 2,
+                                  1000, dtype=jnp.float64)
+    via_route = np.asarray(pgdb_process_estimate_batched(
+        jnp.asarray(a), n, dim=4, method="apg", cp_method="pallas"))
+    direct = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False))
+    np.testing.assert_allclose(via_route, direct, atol=1e-12)
+    with pytest.raises(ValueError):
+        pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4,
+                                      method="pgdb", cp_method="pallas")
