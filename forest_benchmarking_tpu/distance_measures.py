@@ -194,7 +194,11 @@ def _dnorm_objective(a: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
     s = a / jnp.sqrt(jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1), keepdims=True))
     eye = jnp.eye(d, dtype=a.dtype)
     lift = jnp.einsum("ij,...kl->...ikjl", eye, s).reshape(*a.shape[:-2], d * d, d * d)
-    m = dag(lift) @ j @ lift
+    # full-precision matmuls: on TPU the default bf16 passes cost ~3 decades
+    # of objective accuracy in f32 (the round-1 "1e-3 floor"); pinned HIGHEST
+    # here so accuracy doesn't depend on the ambient precision config
+    hi = jax.lax.Precision.HIGHEST
+    m = jnp.matmul(jnp.matmul(dag(lift), j, precision=hi), lift, precision=hi)
     evals = jnp.linalg.eigvalsh(hermitianize(m))
     return jnp.sum(jax.nn.relu(evals), axis=-1)
 
@@ -215,10 +219,12 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
     objective over rho with Adam on an unconstrained square-root factor, with
     multiple deterministic restarts, and keep the best value.
 
-    Accuracy (f64, measured): with the defaults (200 iters, 2 restarts) the
-    worst error is 3e-13 on 1Q analytic cases (depolarizing/RZ/X vs identity)
+    Accuracy (measured): with the defaults (200 iters, 2 restarts) the worst
+    f64 error is 3e-13 on 1Q analytic cases (depolarizing/RZ/X vs identity)
     and 1e-11 vs an 800-iter/6-restart gold run on random 2Q BCSZ pairs; 400/4
-    reaches 1e-15. In f32 the achievable floor is ~1e-3 regardless of budget.
+    reaches 1e-15. f32 error vs the f64 gold run: ~4e-7 (the objective's
+    matmuls are pinned to Precision.HIGHEST below — without that pin, TPU's
+    default bf16 passes degrade f32 accuracy to ~1e-3).
 
     :return: per-batch-element diamond norm distance (real array).
     """

@@ -41,6 +41,7 @@ __all__ = [
     "generate_abstract_qv_circuit", "collect_heavy_outputs",
     "abstract_circuit_to_circuit", "sample_rand_circuits_for_heavy_out",
     "sample_heavy_outputs_batched", "calculate_prob_est_and_err",
+    "topology_restricted_program_generator",
     "measure_quantum_volume", "measure_quantum_volume_batched",
     "count_heavy_hitters_sampled", "get_prob_sample_heavy_by_depth",
     "extract_quantum_volume_from_results",
@@ -98,6 +99,94 @@ def abstract_circuit_to_circuit(qubits: Sequence[int],
                                         int(measure_qubits[perm[gate_idx + 1]])),
                          matrix=tuple(map(tuple, np.asarray(gate, complex))))
     return circ
+
+
+def topology_restricted_program_generator(
+        edges: Sequence[Tuple[int, int]]) -> Callable:
+    """A ``program_generator`` for :func:`measure_quantum_volume` that routes
+    model circuits onto a restricted qubit connectivity graph.
+
+    The TPU-native analog of the reference's ``_naive_program_generator``
+    (quantum_volume.py:62-89), which recompiles onto the qc's ISA/topology via
+    the remote compiler: here a naive greedy router inserts SWAP chains
+    (shortest path by BFS) to bring each gate's qubits adjacent, applies the
+    Haar gate, and finally restores the identity logical->physical mapping so
+    the caller's fixed measurement qubits read out the model circuit's
+    logical bits. SWAPs are named gates, so noise models attached via
+    ``Circuit.define_noisy_gate("SWAP", ...)`` hit exactly the routing
+    overhead — enabling QV-vs-connectivity studies.
+
+    :param edges: undirected edges of the available topology (physical qubit
+        labels; every qubit passed to measure_quantum_volume must appear).
+    :return: a ``program_generator(qc, qubits, permutations, gates)``.
+    """
+    adj: Dict[int, List[int]] = {}
+    for a, b in edges:
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+
+    def shortest_path(src: int, dst: int) -> List[int]:
+        prev = {src: None}
+        frontier = [src]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in prev:
+                        prev[v] = u
+                        nxt.append(v)
+            if dst in prev:
+                break
+            frontier = nxt
+        if dst not in prev:
+            raise ValueError(f"No path between qubits {src} and {dst} in the "
+                             "given topology")
+        path = [dst]
+        while path[-1] != src:
+            path.append(prev[path[-1]])
+        return path[::-1]
+
+    def generator(qc, qubits: Sequence[int], permutations: Sequence[np.ndarray],
+                  gates: np.ndarray) -> Circuit:
+        depth = len(permutations[0])
+        physical = list(qubits)[:depth]
+        for q in physical:
+            if int(q) not in adj:
+                raise ValueError(f"Qubit {q} is not in the topology")
+        # loc[l] = physical qubit currently holding logical qubit l
+        loc = {l: int(physical[l]) for l in range(depth)}
+        circ = Circuit()
+        routing_swaps: List[Tuple[int, int]] = []
+
+        def swap(a: int, b: int):
+            nonlocal circ
+            circ += Gate("SWAP", (), (a, b))
+            routing_swaps.append((a, b))
+
+        for perm, layer in zip(permutations, gates):
+            for gate_idx, gate in enumerate(layer):
+                la, lb = int(perm[gate_idx]), int(perm[gate_idx + 1])
+                pa, pb = loc[la], loc[lb]
+                if pb not in adj.get(pa, ()):
+                    path = shortest_path(pa, pb)
+                    # walk logical qubit la along the path until adjacent
+                    inv = {p: l for l, p in loc.items()}
+                    for step in path[1:-1]:
+                        swap(loc[la], step)
+                        other = inv[step]
+                        inv[loc[la]], inv[step] = other, la
+                        loc[other], loc[la] = loc[la], step
+                    pa, pb = loc[la], loc[lb]
+                circ += Gate("QVGATE", (), (pa, pb),
+                             matrix=tuple(map(tuple, np.asarray(gate, complex))))
+        # restore the identity mapping (so measurement qubits read out logical
+        # bits) by undoing every routing swap in reverse order — each swap is
+        # self-inverse and topology-respecting by construction
+        for a, b in reversed(routing_swaps):
+            circ += Gate("SWAP", (), (a, b))
+        return circ
+
+    return generator
 
 
 def sample_rand_circuits_for_heavy_out(qc, qubits: Sequence[int], depth: int,
@@ -163,15 +252,113 @@ def _simulate_qv_circuit(perms: jnp.ndarray, gates: jnp.ndarray,
     return jnp.abs(psi.reshape(-1)) ** 2
 
 
+def _apply_2q_to_density(rho_t: jnp.ndarray, u4: jnp.ndarray, j: int,
+                         depth: int) -> jnp.ndarray:
+    """rho -> U rho U^dag with U a 4x4 on adjacent qubits (j, j+1).
+
+    ``rho_t`` has shape (2,)*depth + (2,)*depth (ket axes then bra axes).
+    """
+    u_t = u4.reshape(2, 2, 2, 2)
+    # left: contract U's input axes with ket axes (j, j+1)
+    hi = jax.lax.Precision.HIGHEST
+    rho_t = jnp.moveaxis(jnp.tensordot(u_t, rho_t, axes=[(2, 3), (j, j + 1)],
+                                       precision=hi),
+                         (0, 1), (j, j + 1))
+    # right: contract conj(U) with bra axes
+    bj = depth + j
+    rho_t = jnp.moveaxis(
+        jnp.tensordot(jnp.conj(u_t), rho_t, axes=[(2, 3), (bj, bj + 1)],
+                      precision=hi),
+        (0, 1), (bj, bj + 1))
+    return rho_t
+
+
+def _apply_2q_channel_to_density(rho_t: jnp.ndarray, kraus: jnp.ndarray,
+                                 j: int, depth: int) -> jnp.ndarray:
+    """rho -> sum_k K_k rho K_k^dag on adjacent qubits (j, j+1), with the
+    whole Kraus sum fused into two stacked tensordots.
+
+    ``rho_t`` has shape (2,)*depth + (2,)*depth; ``kraus`` is (K, 4, 4).
+    """
+    k_t = kraus.reshape(-1, 2, 2, 2, 2)          # (K, out, out, in, in)
+    # left: T[K, o1, o2, ...rest] = sum_in K[k,o,i] rho[... i at (j,j+1) ...]
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.tensordot(k_t, rho_t, axes=[(3, 4), (j, j + 1)], precision=hi)
+    # bra axes of rho sit after the remaining ket axes; in t they are shifted
+    # by 3 (K, o1, o2) minus the 2 removed ket axes
+    bj = 3 + (depth - 2) + j
+    # right: contract conj(K) over (K, bra_j, bra_j+1) jointly -> Kraus sum
+    out = jnp.tensordot(jnp.conj(k_t), t, axes=[(0, 3, 4), (0, bj, bj + 1)],
+                        precision=hi)
+    # out axes: (b_j, b_j+1, k_j, k_j+1, kets w/o j,j+1..., bras w/o j,j+1...)
+    # restore the canonical (kets..., bras...) order with one transpose
+    def src_ket(m):
+        if m == j:
+            return 2
+        if m == j + 1:
+            return 3
+        return 4 + (m if m < j else m - 2)
+
+    def src_bra(m):
+        if m == j:
+            return 0
+        if m == j + 1:
+            return 1
+        return 4 + (depth - 2) + (m if m < j else m - 2)
+
+    perm = [src_ket(m) for m in range(depth)] + \
+        [src_bra(m) for m in range(depth)]
+    return jnp.transpose(out, perm)
+
+
+def _simulate_qv_circuit_density(perms: jnp.ndarray, gates: jnp.ndarray,
+                                 kraus: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Noisy output probabilities of one model circuit via density-matrix
+    evolution: each Haar gate is followed by the two-qubit Kraus channel
+    ``kraus`` (K, 4, 4) on the same qubit pair — the batched equivalent of
+    ``Circuit.define_noisy_gate("QVGATE", None, kraus)`` on the QVM
+    (sim/density.py:71 run_density_matrix). Layers run under a ``fori_loop``
+    (compile-time: one traced layer body, not depth of them).
+    """
+    d = 2 ** depth
+    rho0 = jnp.zeros((d, d), dtype=gates.dtype).at[0, 0].set(1.0)
+
+    def layer_body(layer, rho):
+        perm = perms[layer]
+        fwd = _bit_permute_indices(perm, depth)
+        rho = rho[fwd][:, fwd]
+        rho_t = rho.reshape((2,) * (2 * depth))
+        for j in range(depth // 2):
+            rho_t = _apply_2q_to_density(rho_t, gates[layer, j], j, depth)
+            rho_t = _apply_2q_channel_to_density(rho_t, kraus, j, depth)
+        rho = rho_t.reshape(d, d)
+        inv = jnp.argsort(fwd)
+        return rho[inv][:, inv]
+
+    rho = jax.lax.fori_loop(0, depth, layer_body, rho0)
+    p = jnp.real(jnp.diagonal(rho))
+    return jnp.maximum(p, 0.0) / jnp.sum(jnp.maximum(p, 0.0))
+
+
 def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
                                  num_shots: int,
-                                 dtype=jnp.float32) -> jnp.ndarray:
+                                 dtype=jnp.float32,
+                                 kraus: Optional[jnp.ndarray] = None) \
+        -> jnp.ndarray:
     """One jit: sample circuits, find heavy sets, sample shots, count heavies.
 
     Returns the scalar total number of heavy outputs sampled across all
-    circuits (int32). This is the ideal-device path: shots are drawn from the
-    exact output distribution, so the heavy-output probability estimate
-    converges to the ideal (0.85-ish asymptote (1+ln2)/2) at large depth.
+    circuits (int32). Without ``kraus`` this is the ideal-device path: shots
+    are drawn from the exact output distribution, so the heavy-output
+    probability estimate converges to the ideal (0.85-ish asymptote
+    (1+ln2)/2) at large depth.
+
+    With ``kraus`` — a (K, 4, 4) two-qubit Kraus stack applied after every
+    Haar gate on its qubit pair — shots are drawn from the NOISY output
+    distribution (batched density-matrix evolution, one dispatch for all
+    circuits; no per-circuit recompiles), while the heavy sets still come
+    from the ideal circuit, exactly as the per-circuit QVM path defines QV
+    for noisy devices (reference quantum_volume.py:94-118,154-208).
     """
     kp, kg, ks = jax.random.split(key, 3)
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
@@ -184,6 +371,17 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
     probs = jax.vmap(lambda p, g: _simulate_qv_circuit(p, g, depth))(perms, gates)
     med = jnp.median(probs, axis=1, keepdims=True)
     heavy = probs > med  # (C, 2**depth)
+
+    if kraus is not None:
+        kraus = jnp.asarray(kraus)
+        if kraus.ndim == 4 and not jnp.iscomplexobj(kraus):
+            # (2, K, 4, 4) real/imag planes — float-only transport for the
+            # axon TPU tunnel (complex host->device transfers are unsupported)
+            kraus = kraus[0] + 1j * kraus[1]
+        kraus = kraus.astype(cdtype)
+        probs = jax.vmap(
+            lambda p, g: _simulate_qv_circuit_density(p, g, kraus, depth))(
+                perms, gates)
 
     logits = jnp.log(jnp.clip(probs, jnp.finfo(dtype).tiny, None))
     samples = jax.random.categorical(ks, logits[:, None, :], axis=-1,
@@ -203,9 +401,14 @@ def measure_quantum_volume_batched(key=None, max_depth: int = 8,
                                    num_shots: int = 1000,
                                    achievable_threshold: float = 2 / 3,
                                    stop_when_fail: bool = True,
-                                   dtype=jnp.float32) \
+                                   dtype=jnp.float32,
+                                   kraus: Optional[np.ndarray] = None) \
         -> Dict[int, Tuple[float, float]]:
-    """Scan depths 2..max_depth with the fully-batched ideal-device kernel."""
+    """Scan depths 2..max_depth with the fully-batched kernel.
+
+    ``kraus`` (optional (K, 4, 4) stack) switches every depth to the noisy
+    density-matrix path — the batched analog of running
+    :func:`measure_quantum_volume` on a QVM with a noisy QVGATE."""
     if key is None:
         key = jax.random.PRNGKey(0)
     results = {}
@@ -215,7 +418,8 @@ def measure_quantum_volume_batched(key=None, max_depth: int = 8,
     for depth in range(2, max_depth + 1):
         key, sub = jax.random.split(key)
         num_heavy = int(sample_jit(sub, depth=depth, num_circuits=num_circuits,
-                                   num_shots=num_shots, dtype=dtype))
+                                   num_shots=num_shots, dtype=dtype,
+                                   kraus=kraus))
         prob, conf = calculate_prob_est_and_err(num_heavy, num_circuits,
                                                 num_shots)
         results[depth] = (prob, conf)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from forest_benchmarking_tpu.circuits import Circuit
@@ -36,15 +37,21 @@ def _lift(mat: jnp.ndarray, axes: Sequence[int], n: int) -> jnp.ndarray:
 def apply_gate_to_density(rho: jnp.ndarray, mat: jnp.ndarray,
                           axes: Sequence[int], n: int) -> jnp.ndarray:
     u = _lift(mat, axes, n)
-    return u @ rho @ u.conj().T
+    # full-precision matmuls: TPU's default bf16 passes compound ~1e-3 error
+    # per gate across a circuit — never depend on the ambient precision config
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(u, rho, precision=hi), u.conj().T,
+                      precision=hi)
 
 
 def apply_kraus_to_density(rho: jnp.ndarray, kraus_stack: jnp.ndarray,
                            axes: Sequence[int], n: int) -> jnp.ndarray:
     out = jnp.zeros_like(rho)
+    hi = jax.lax.Precision.HIGHEST
     for i in range(kraus_stack.shape[0]):
         k = _lift(kraus_stack[i], axes, n)
-        out = out + k @ rho @ k.conj().T
+        out = out + jnp.matmul(jnp.matmul(k, rho, precision=hi), k.conj().T,
+                               precision=hi)
     return out
 
 

@@ -187,7 +187,8 @@ class CircuitPlan:
             p = jnp.clip(jnp.real(jnp.diagonal(rho)), 0, None)
             p = p / jnp.sum(p)
             if conf:
-                p = conf[0].astype(p.dtype) @ p
+                p = jnp.matmul(conf[0].astype(p.dtype), p,
+                               precision=jax.lax.Precision.HIGHEST)
         else:
             psi = jnp.zeros((2,) * n, dtype=self.cdtype).at[(0,) * n].set(1.0)
             for kind, axes, mat in mats:

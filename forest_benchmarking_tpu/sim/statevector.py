@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from forest_benchmarking_tpu.circuits import Circuit
@@ -28,12 +29,18 @@ def apply_gate_matrix(psi: jnp.ndarray, mat: jnp.ndarray,
 
     psi has shape (2,)*n (optionally with leading batch dims handled by vmap);
     mat has shape (2**k, 2**k) with the first listed axis the most significant.
+
+    Contractions are pinned to full precision: under the TPU's default bf16
+    matmul passes, per-gate error is ~1e-3 and compounds across a circuit
+    (measured: ~0.16 probability error after 40 gates at complex64) — gate
+    application must never depend on the ambient precision config.
     """
     n = psi.ndim
     k = len(axes)
     mat_t = mat.reshape((2,) * (2 * k))
     # contract mat's input indices (last k) with psi's axes
-    out = jnp.tensordot(mat_t, psi, axes=(list(range(k, 2 * k)), list(axes)))
+    out = jnp.tensordot(mat_t, psi, axes=(list(range(k, 2 * k)), list(axes)),
+                        precision=jax.lax.Precision.HIGHEST)
     # tensordot puts the k output indices first; move them back
     return jnp.moveaxis(out, list(range(k)), list(axes))
 

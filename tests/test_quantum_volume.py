@@ -128,3 +128,119 @@ def test_measure_quantum_volume_noisy_fails_early():
                                          num_circuits=20, num_shots=100,
                                          rng=rng)
     assert extract_quantum_volume_from_results(results) == 2 ** 1
+
+
+def test_batched_noisy_density_matches_qvm_density_path():
+    """The batched noisy QV kernel's output distribution equals the
+    per-circuit density-matrix path (define_noisy_gate semantics) on the
+    same abstract circuit."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        _simulate_qv_circuit_density)
+    from forest_benchmarking_tpu.sim.density import run_density_matrix
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+
+    depth = 3
+    rng = np.random.RandomState(7)
+    permutations, gates = generate_abstract_qv_circuit(depth, rng)
+    ks = depolarizing_kraus_map(0.2)
+    two_q = np.stack([np.kron(a, b) for a in ks for b in ks])
+
+    # per-circuit QVM path
+    circ = abstract_circuit_to_circuit(list(range(depth)), permutations, gates)
+    circ.define_noisy_gate("QVGATE", None, two_q)
+    rho = np.asarray(run_density_matrix(circ, list(range(depth))))
+    want = np.real(np.diag(rho))
+
+    # batched kernel on the same perms/gates
+    perms = jnp.asarray(np.stack(permutations))
+    got = np.asarray(_simulate_qv_circuit_density(
+        perms, jnp.asarray(gates, jnp.complex128),
+        jnp.asarray(two_q, jnp.complex128), depth))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_batched_noisy_qv_fails_early_ideal_passes():
+    """Strong depolarizing noise drives the batched heavy-output probability
+    to ~0.5 (failing the 2/3 bar) while the ideal batched path passes."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        measure_quantum_volume_batched)
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+
+    ks = depolarizing_kraus_map(0.9)
+    two_q = np.stack([np.kron(a, b) for a in ks for b in ks])
+    noisy = measure_quantum_volume_batched(jax.random.PRNGKey(2), max_depth=3,
+                                           num_circuits=60, num_shots=300,
+                                           dtype=jnp.float64, kraus=two_q)
+    assert extract_quantum_volume_from_results(noisy) == 2 ** 1
+    assert abs(noisy[2][0] - 0.5) < 0.1
+    ideal = measure_quantum_volume_batched(jax.random.PRNGKey(2), max_depth=3,
+                                           num_circuits=60, num_shots=300,
+                                           dtype=jnp.float64)
+    assert extract_quantum_volume_from_results(ideal) == 2 ** 3
+
+
+def test_topology_restricted_generator_matches_ideal_distribution():
+    """SWAP routing onto a line topology preserves the model circuit's output
+    distribution (checked against the unrouted circuit's statevector)."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        topology_restricted_program_generator)
+    from forest_benchmarking_tpu.sim.statevector import run_statevector
+
+    depth = 4
+    rng = np.random.RandomState(11)
+    permutations, gates = generate_abstract_qv_circuit(depth, rng)
+    qubits = list(range(depth))
+
+    line = topology_restricted_program_generator(
+        [(0, 1), (1, 2), (2, 3)])
+    routed = line(None, qubits, permutations, gates)
+    # every 2q gate respects line adjacency
+    for g in routed.gates:
+        if len(g.qubits) == 2:
+            assert abs(g.qubits[0] - g.qubits[1]) == 1
+    # routing preserved the computation
+    unrouted = abstract_circuit_to_circuit(qubits, permutations, gates)
+    p_routed = np.abs(np.asarray(run_statevector(routed, qubits))) ** 2
+    p_ideal = np.abs(np.asarray(run_statevector(unrouted, qubits))) ** 2
+    np.testing.assert_allclose(p_routed, p_ideal, atol=1e-10)
+    # all-to-all topology inserts no SWAPs
+    full = topology_restricted_program_generator(
+        [(i, j) for i in qubits for j in qubits if i < j])
+    direct = full(None, qubits, permutations, gates)
+    assert all(g.name != "SWAP" for g in direct.gates)
+
+
+def test_qv_on_line_topology_with_noisy_swaps_fails_earlier():
+    """Noisy SWAPs on a line topology degrade QV relative to all-to-all with
+    the same gate noise (connectivity study enabled by the router)."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        topology_restricted_program_generator)
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+
+    ks = depolarizing_kraus_map(0.5)
+    two_q = [np.kron(a, b) for a in ks for b in ks]
+
+    class SwapNoisyQVM(QVM):
+        def run(self, circuit, qubits, num_shots):
+            noisy = circuit.copy()
+            noisy.define_noisy_gate("SWAP", None, two_q)
+            return super().run(noisy, qubits, num_shots)
+
+    depth = 3
+    rng = np.random.RandomState(12)
+    gen = topology_restricted_program_generator([(0, 1), (1, 2)])
+    qvm = SwapNoisyQVM(seed=3)
+    with pytest.warns(UserWarning):
+        line_res = measure_quantum_volume(qvm, qubits=[0, 1, 2],
+                                          program_generator=gen,
+                                          num_circuits=15, num_shots=60,
+                                          depths=np.array([depth]), rng=rng)
+    rng = np.random.RandomState(12)
+    with pytest.warns(UserWarning):
+        full_res = measure_quantum_volume(SwapNoisyQVM(seed=3),
+                                          qubits=[0, 1, 2],
+                                          num_circuits=15, num_shots=60,
+                                          depths=np.array([depth]), rng=rng)
+    # all-to-all path never emits SWAP, so its heavy-output prob is higher
+    assert full_res[depth][0] > line_res[depth][0]
