@@ -198,15 +198,41 @@ def config5_quantum_volume(depth=8, num_circuits=1600, shots=1000):
     }
 
 
+def config5_noisy_quantum_volume(depth=4, num_circuits=800, shots=1000,
+                                 depol_p=0.02):
+    """Noisy heavy-output sampling: batched density evolution, one dispatch."""
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+    ks = depolarizing_kraus_map(depol_p)
+    two_q = np.stack([np.kron(a, b) for a in ks for b in ks])
+    kraus_ri = jnp.asarray(np.stack([two_q.real, two_q.imag]).astype(np.float32))
+    sample = jax.jit(sample_heavy_outputs_batched,
+                     static_argnames=("depth", "num_circuits", "num_shots",
+                                      "dtype"))
+
+    def step(key):
+        return sample(key, depth=depth, num_circuits=num_circuits,
+                      num_shots=shots, dtype=DT, kraus=kraus_ri)
+
+    num_heavy, dt = timed(step, jax.random.PRNGKey(6))
+    return {
+        "metric": f"qv_depth{depth}_noisy_heavy_output_sim_throughput",
+        "value": round(num_circuits / dt, 2), "unit": "circuits/sec",
+        "vs_baseline": None, "num_circuits": num_circuits,
+        "depolarizing_p": depol_p,
+        "heavy_output_prob": round(int(num_heavy) / (num_circuits * shots), 4),
+    }
+
+
 def main():
     results = [
         config1_state_tomo(),
-        # config 2 is the headline bench
-        {"metric": "see bench.py (2q PGDB MLE)", "value": None,
-         "unit": "solves/sec", "vs_baseline": None},
+        # config 2 is the headline bench (incl. parity_solves_per_sec)
+        {"metric": "see bench.py (2q PGDB MLE + fused-parity solver)",
+         "value": None, "unit": "solves/sec", "vs_baseline": None},
         config3_rb_fits(),
         config4_dfe_distances(),
         config5_quantum_volume(),
+        config5_noisy_quantum_volume(),
     ]
     for r in results:
         print(json.dumps(r))

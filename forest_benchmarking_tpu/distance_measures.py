@@ -67,7 +67,9 @@ def impurity(rho: jnp.ndarray, dim_renorm: bool = False) -> jnp.ndarray:
 def fidelity(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     """Uhlmann fidelity F(rho, sigma) = (tr sqrt(sqrt(rho) sigma sqrt(rho)))^2."""
     sqrt_rho = sqrtm_psd(rho)
-    inner = sqrtm_psd(sqrt_rho @ sigma @ sqrt_rho)
+    hi = jax.lax.Precision.HIGHEST
+    inner = sqrtm_psd(jnp.matmul(jnp.matmul(sqrt_rho, sigma, precision=hi),
+                                 sqrt_rho, precision=hi))
     return jnp.real(jnp.trace(inner, axis1=-2, axis2=-1)) ** 2
 
 
@@ -222,9 +224,10 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
     Accuracy (measured): with the defaults (200 iters, 2 restarts) the worst
     f64 error is 3e-13 on 1Q analytic cases (depolarizing/RZ/X vs identity)
     and 1e-11 vs an 800-iter/6-restart gold run on random 2Q BCSZ pairs; 400/4
-    reaches 1e-15. f32 error vs the f64 gold run: ~4e-7 (the objective's
-    matmuls are pinned to Precision.HIGHEST below — without that pin, TPU's
-    default bf16 passes degrade f32 accuracy to ~1e-3).
+    reaches 1e-15. f32 error vs the f64 gold run on identical channel pairs:
+    4.2e-7 on cpu, 3.0e-6 on a v5e chip (the objective's matmuls are pinned
+    to Precision.HIGHEST below — without that pin, TPU's default bf16 passes
+    degrade f32 accuracy to ~1e-3).
 
     :return: per-batch-element diamond norm distance (real array).
     """

@@ -6,6 +6,7 @@ Reference parity: forest/benchmarking/operator_tools/apply_superoperator.py
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from forest_benchmarking_tpu.ops.calculational import kron, partial_trace
@@ -24,7 +25,8 @@ def apply_kraus_ops_2_state(kraus_ops, state: jnp.ndarray) -> jnp.ndarray:
     state = jnp.asarray(state)
     if state.shape[-1] != k.shape[-1]:
         raise ValueError("Dimensions of state and Kraus operator are incompatible")
-    return jnp.einsum("...nij,...jk,...nlk->...il", k, state, jnp.conj(k))
+    return jnp.einsum("...nij,...jk,...nlk->...il", k, state, jnp.conj(k),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def apply_choi_matrix_2_state(choi: jnp.ndarray, state: jnp.ndarray) -> jnp.ndarray:
@@ -36,5 +38,5 @@ def apply_choi_matrix_2_state(choi: jnp.ndarray, state: jnp.ndarray) -> jnp.ndar
     state = jnp.asarray(state)
     dim = int(np.sqrt(choi.shape[-1]))
     eye = jnp.eye(dim, dtype=choi.dtype)
-    tot = kron(jnp.swapaxes(state, -1, -2), eye) @ choi
+    tot = jnp.matmul(kron(jnp.swapaxes(state, -1, -2), eye), choi, precision=jax.lax.Precision.HIGHEST)
     return partial_trace(tot, keep=[1], dims=[dim, dim])

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["partial_trace", "outer_product", "inner_product", "sqrtm_psd", "kron",
@@ -70,20 +71,27 @@ def partial_trace(rho: jnp.ndarray, keep: Sequence[int], dims: Sequence[int]) ->
 
 def outer_product(bra1: jnp.ndarray, bra2: jnp.ndarray) -> jnp.ndarray:
     """|bra1><bra2| for (..., d, 1) column vectors."""
-    return bra1 @ dag(bra2)
+    return jnp.matmul(bra1, dag(bra2), precision=jax.lax.Precision.HIGHEST)
 
 
 def inner_product(bra1: jnp.ndarray, bra2: jnp.ndarray) -> jnp.ndarray:
     """<bra1|bra2> for (..., d, 1) column vectors; returns (..., 1, 1)."""
-    return dag(bra1) @ bra2
+    return jnp.matmul(dag(bra1), bra2, precision=jax.lax.Precision.HIGHEST)
 
 
 def sqrtm_psd(matrix: jnp.ndarray) -> jnp.ndarray:
     """Square root of a (batched) positive semidefinite matrix via eigh.
 
     Negative eigenvalues from floating-point noise are clipped to zero, matching
-    the reference (calculational.py:77).
+    the reference (calculational.py:77). Additionally, eigenvalues below
+    ``d * eps * lambda_max`` (pure eigh noise on rank-deficient inputs) are
+    clipped: the square root amplifies them from ~eps to ~sqrt(eps), which at
+    f32 costs 1e-3 in quantities like the Uhlmann fidelity of pure states.
     """
     w, v = jnp.linalg.eigh(matrix)
-    w = jnp.sqrt(jnp.maximum(w, 0))
-    return (v * w[..., None, :]) @ dag(v)
+    d = matrix.shape[-1]
+    eps = jnp.finfo(jnp.real(matrix).dtype).eps
+    floor = d * eps * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    w = jnp.sqrt(jnp.where(w < floor, 0.0, w))
+    # full-precision reconstruction (TPU bf16 default costs ~1e-3)
+    return jnp.matmul(v * w[..., None, :], dag(v), precision=jax.lax.Precision.HIGHEST)

@@ -439,7 +439,10 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
               init_sweeps=init_sweeps, final_iters=final_iters,
               final_sweeps=final_sweeps)
 
-    if use_pallas and _have_pallas() and b % block == 0 and b >= block:
+    # Mosaic requires the lane (batch-block) dimension to be a multiple of
+    # 128; anything else falls back to the identical-numerics XLA path
+    if (use_pallas and _have_pallas() and block % 128 == 0
+            and b % block == 0 and b >= block):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 

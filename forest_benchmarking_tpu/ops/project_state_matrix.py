@@ -9,6 +9,7 @@ single batched eigh + elementwise ops -- fully jit/vmap-safe with static shapes.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from forest_benchmarking_tpu.ops.calculational import dag
@@ -51,4 +52,5 @@ def project_state_matrix_to_physical(rho: jnp.ndarray) -> jnp.ndarray:
     mask = counts <= (idx[..., None] + 1)
     lam_new = jnp.where(mask, lam + corr_star, 0.0)
     lam_new = lam_new[..., ::-1]  # back to ascending, matching eigvecs order
-    return (eigvecs * lam_new[..., None, :].astype(eigvecs.dtype)) @ dag(eigvecs)
+    return jnp.matmul(eigvecs * lam_new[..., None, :].astype(eigvecs.dtype),
+                      dag(eigvecs), precision=jax.lax.Precision.HIGHEST)

@@ -40,7 +40,7 @@ def proj_choi_to_completely_positive(choi: jnp.ndarray) -> jnp.ndarray:
     """
     evals, v = jnp.linalg.eigh(hermitianize(choi))
     evals = jnp.maximum(evals, 0)
-    return (v * evals[..., None, :].astype(v.dtype)) @ dag(v)
+    return jnp.matmul(v * evals[..., None, :].astype(v.dtype), dag(v), precision=jax.lax.Precision.HIGHEST)
 
 
 def _matrix_sign_ns(m: jnp.ndarray, iters: int) -> jnp.ndarray:
@@ -79,7 +79,8 @@ def proj_choi_to_trace_non_increasing(choi: jnp.ndarray) -> jnp.ndarray:
     pt = partial_trace(choi, keep=[0], dims=[dim, dim])
     d_, v = jnp.linalg.eigh(hermitianize(pt))
     d_ = jnp.minimum(d_, 1)
-    projection = (v * d_[..., None, :].astype(v.dtype)) @ dag(v)
+    projection = jnp.matmul(v * d_[..., None, :].astype(v.dtype), dag(v),
+                            precision=jax.lax.Precision.HIGHEST)
     eye = jnp.eye(dim, dtype=choi.dtype)
     trace_increasing_part = kron((pt - projection) / dim, eye)
     return choi - trace_increasing_part

@@ -30,6 +30,14 @@ def _complex_dtype(dtype):
     return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
 
 
+
+def _mm(*mats):
+    """Chained matmul at full precision (TPU bf16 default corrupts samples)."""
+    out = mats[0]
+    for m in mats[1:]:
+        out = jnp.matmul(out, m, precision=jax.lax.Precision.HIGHEST)
+    return out
+
 def ginibre_matrix_complex(key, dim: int, k: int, batch: Tuple[int, ...] = (),
                            dtype=jnp.float64) -> jnp.ndarray:
     r"""Draw a (batched) dim-by-k matrix from the complex Ginibre ensemble.
@@ -68,7 +76,7 @@ def ginibre_state_matrix(key, dim: int, rank: int, batch: Tuple[int, ...] = (),
     if rank > dim:
         raise ValueError("The rank of the state matrix cannot exceed the dimension.")
     a = ginibre_matrix_complex(key, dim, rank, batch, dtype)
-    m = a @ dag(a)
+    m = _mm(a, dag(a))
     tr = jnp.trace(m, axis1=-2, axis2=-1)[..., None, None]
     return m / tr
 
@@ -80,8 +88,8 @@ def bures_measure_state_matrix(key, dim: int, batch: Tuple[int, ...] = (),
     a = ginibre_matrix_complex(ka, dim, dim, batch, dtype)
     u = haar_rand_unitary(ku, dim, batch, dtype)
     eye = jnp.eye(dim, dtype=a.dtype)
-    m = a @ dag(a)
-    p = (eye + u) @ m @ (eye + dag(u))
+    m = _mm(a, dag(a))
+    p = _mm(eye + u, m, eye + dag(u))
     tr = jnp.trace(p, axis1=-2, axis2=-1)[..., None, None]
     return p / tr
 
@@ -95,13 +103,14 @@ def rand_map_with_BCSZ_dist(key, dim: int, kraus_rank: int,
     ``W = (Tr_out rho)^{-1/2}`` (reference random_operators.py:148-157).
     """
     x = ginibre_matrix_complex(key, dim ** 2, kraus_rank, batch, dtype)
-    rho = x @ dag(x)
+    rho = _mm(x, dag(x))
     rho_red = partial_trace(rho, keep=[0], dims=[dim, dim])
     # inverse PSD sqrt via eigh (rho_red is positive definite almost surely)
     w, v = jnp.linalg.eigh(rho_red)
-    inv_sqrt = (v * (1.0 / jnp.sqrt(w))[..., None, :].astype(v.dtype)) @ dag(v)
+    inv_sqrt = _mm(v * (1.0 / jnp.sqrt(w))[..., None, :].astype(v.dtype),
+                   dag(v))
     q = kron(inv_sqrt, jnp.eye(dim, dtype=rho.dtype))
-    return q @ rho @ q
+    return _mm(q, rho, q)
 
 
 def permute_tensor_factors(dims: Union[int, List[int]], perm: Sequence[int]) -> np.ndarray:

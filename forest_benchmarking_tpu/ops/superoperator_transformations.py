@@ -22,6 +22,7 @@ import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from forest_benchmarking_tpu.utils import pauli_basis_matrices
@@ -102,7 +103,7 @@ def kraus2superop(kraus_ops) -> jnp.ndarray:
     """
     k = _stack_kraus(kraus_ops)
     r, c = k.shape[-2:]
-    out = jnp.einsum("...nij,...nkl->...ikjl", jnp.conj(k), k)
+    out = jnp.einsum("...nij,...nkl->...ikjl", jnp.conj(k), k, precision=jax.lax.Precision.HIGHEST)
     return out.reshape(*out.shape[:-4], r * r, c * c)
 
 
@@ -110,7 +111,7 @@ def kraus2choi(kraus_ops) -> jnp.ndarray:
     r"""Kraus -> Choi: :math:`\sum_i |K_i\rangle\rangle \langle\langle K_i|`."""
     k = _stack_kraus(kraus_ops)
     v = vec(k)[..., 0]  # (..., K, r*c)
-    return jnp.einsum("...na,...nb->...ab", v, jnp.conj(v))
+    return jnp.einsum("...na,...nb->...ab", v, jnp.conj(v), precision=jax.lax.Precision.HIGHEST)
 
 
 def kraus2chi(kraus_ops) -> jnp.ndarray:
@@ -118,8 +119,8 @@ def kraus2chi(kraus_ops) -> jnp.ndarray:
     k = _stack_kraus(kraus_ops)
     dim = k.shape[-1]
     c2p = computational2pauli_basis_matrix(dim).astype(k.dtype)
-    c = jnp.einsum("ab,...nb->...na", c2p, vec(k)[..., 0])
-    return jnp.einsum("...na,...nb->...ab", c, jnp.conj(c))
+    c = jnp.einsum("ab,...nb->...na", c2p, vec(k)[..., 0], precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...na,...nb->...ab", c, jnp.conj(c), precision=jax.lax.Precision.HIGHEST)
 
 
 def kraus2pauli_liouville(kraus_ops) -> jnp.ndarray:
@@ -134,7 +135,9 @@ def chi2choi(chi_matrix: jnp.ndarray) -> jnp.ndarray:
     chi_matrix = jnp.asarray(chi_matrix)
     dim = int(np.sqrt(chi_matrix.shape[-1]))
     p2c = pauli2computational_basis_matrix(dim).astype(chi_matrix.dtype)
-    return p2c @ chi_matrix @ dag(p2c)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(p2c, chi_matrix, precision=hi), dag(p2c),
+                      precision=hi)
 
 
 def chi2pauli_liouville(chi_matrix: jnp.ndarray) -> jnp.ndarray:
@@ -167,7 +170,9 @@ def superop2pauli_liouville(superop: jnp.ndarray) -> jnp.ndarray:
     superop = jnp.asarray(superop)
     dim = int(np.sqrt(superop.shape[-1]))
     c2p = computational2pauli_basis_matrix(dim).astype(superop.dtype)
-    return c2p @ superop @ dag(c2p) * dim
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(c2p, superop, precision=hi), dag(c2p),
+                      precision=hi) * dim
 
 
 def superop2kraus(superop: jnp.ndarray) -> List[jnp.ndarray]:
@@ -185,7 +190,9 @@ def pauli_liouville2superop(pl_matrix: jnp.ndarray) -> jnp.ndarray:
     pl_matrix = jnp.asarray(pl_matrix)
     dim = int(np.sqrt(pl_matrix.shape[-1]))
     p2c = pauli2computational_basis_matrix(dim).astype(pl_matrix.dtype)
-    return p2c @ pl_matrix @ dag(p2c) / dim
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(p2c, pl_matrix, precision=hi), dag(p2c),
+                      precision=hi) / dim
 
 
 def pauli_liouville2choi(pl_matrix: jnp.ndarray) -> jnp.ndarray:
@@ -217,7 +224,9 @@ def choi2chi(choi: jnp.ndarray) -> jnp.ndarray:
     choi = jnp.asarray(choi)
     dim = int(np.sqrt(choi.shape[-1]))
     c2p = computational2pauli_basis_matrix(dim).astype(choi.dtype)
-    return c2p @ choi @ dag(c2p)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(c2p, choi, precision=hi), dag(c2p),
+                      precision=hi)
 
 
 def choi2kraus(choi: jnp.ndarray, tol: float = 1e-9) -> List[jnp.ndarray]:
