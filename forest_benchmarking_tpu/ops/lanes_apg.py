@@ -85,68 +85,122 @@ def _rotation_coeffs(apq_r, apq_i, app, aqq, eps):
     return c, s, e_r, e_i
 
 
-def _sweep(a_r, a_i, v_r, v_i, eps, rounds, n):
-    """One cyclic-Jacobi sweep on (n, n, B) planes, rotating A and V jointly.
+@functools.lru_cache(maxsize=None)
+def _sweep_schedule(n: int):
+    """Precomputed pair-layout permutation schedule for the cyclic sweep.
 
-    Row/column movement is static slices + concatenate only (Pallas TPU lowers
-    neither gather nor scatter).
+    In round r the matrix lives in "pair layout": rows/cols permuted by
+    ``order_r`` (the flattened pair list), so the rotated pairs sit at
+    (2i, 2i+1) and the rotation needs NO permutes at all. Between rounds a
+    single composed transition permutation ``trans[r]`` moves layout r to
+    layout r+1 (and ``trans[-1]`` wraps the last round back to round 0 for
+    multi-sweep chaining) — halving the full-matrix copy traffic versus
+    permuting to pair order and back every round.
+
+    Returns (orders, invs, trans) as tuples of index tuples.
     """
+    rounds = _round_robin_pairs(n)
+    orders = [tuple(x for pr in pairs for x in pr) for pairs in rounds]
+    invs = []
+    for order in orders:
+        inv = [0] * n
+        for newpos, i in enumerate(order):
+            inv[i] = newpos
+        invs.append(tuple(inv))
+    trans = []
+    for r in range(len(orders)):
+        nxt = orders[(r + 1) % len(orders)]
+        trans.append(tuple(invs[r][nxt[i]] for i in range(n)))
+    return tuple(orders), tuple(invs), tuple(trans)
+
+
+def _rows_perm(a, order):
+    return jnp.concatenate([a[i:i + 1] for i in order], axis=0)
+
+
+def _cols_perm(a, order):
+    return jnp.concatenate([a[:, i:i + 1] for i in order], axis=1)
+
+
+def _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, sweeps):
+    """``sweeps`` cyclic-Jacobi sweeps on (n, n, B) planes, rotating A and V
+    jointly. All movement is static slices + concatenate (Pallas TPU lowers
+    neither gather nor scatter); rounds run in pair layout with composed
+    transition permutations (see :func:`_sweep_schedule`).
+    """
+    del rounds  # schedule derived from n (kept for call-site compatibility)
     npairs = n // 2
+    orders, invs, trans = _sweep_schedule(n)
+    nrounds = len(orders)
 
     def cmul(xr, xi, yr, yi):
         return xr * yr - xi * yi, xr * yi + xi * yr
 
-    def rows_perm(a, order):
-        return jnp.concatenate([a[i:i + 1] for i in order], axis=0)
+    # enter pair layout of round 0
+    o0 = orders[0]
+    a_r = _rows_perm(_cols_perm(a_r, o0), o0)
+    a_i = _rows_perm(_cols_perm(a_i, o0), o0)
+    v_r = _cols_perm(v_r, o0)
+    v_i = _cols_perm(v_i, o0)
 
-    def cols_perm(a, order):
-        return jnp.concatenate([a[:, i:i + 1] for i in order], axis=1)
+    for swp in range(sweeps):
+        for r in range(nrounds):
+            # rotation coefficients from the in-layout pairs (2i, 2i+1)
+            apq_r = jnp.concatenate(
+                [a_r[2 * i:2 * i + 1, 2 * i + 1] for i in range(npairs)], axis=0)
+            apq_i = jnp.concatenate(
+                [a_i[2 * i:2 * i + 1, 2 * i + 1] for i in range(npairs)], axis=0)
+            app = jnp.concatenate(
+                [a_r[2 * i:2 * i + 1, 2 * i] for i in range(npairs)], axis=0)
+            aqq = jnp.concatenate(
+                [a_r[2 * i + 1:2 * i + 2, 2 * i + 1] for i in range(npairs)],
+                axis=0)
+            c, s, e_r, e_i = _rotation_coeffs(apq_r, apq_i, app, aqq, eps)
+            ebar_r, ebar_i = e_r, -e_i
+            cN, sN = c[:, None], s[:, None]
+            erN, eiN = e_r[:, None], e_i[:, None]
+            ebrN, ebiN = ebar_r[:, None], ebar_i[:, None]
 
-    for pairs in rounds:
-        order = [x for pr in pairs for x in pr]
-        inv = [0] * n
-        for newpos, i in enumerate(order):
-            inv[i] = newpos
+            def rotate_cols(x_r, x_i):
+                xp_r = x_r.reshape(n, npairs, 2, -1)
+                xp_i = x_i.reshape(n, npairs, 2, -1)
+                pr_, pi_ = xp_r[:, :, 0], xp_i[:, :, 0]
+                qr_, qi_ = xp_r[:, :, 1], xp_i[:, :, 1]
+                tq = cmul(ebar_r, ebar_i, qr_, qi_)
+                new_p = (c * pr_ - s * tq[0], c * pi_ - s * tq[1])
+                tp = cmul(e_r, e_i, pr_, pi_)
+                new_q = (s * tp[0] + c * qr_, s * tp[1] + c * qi_)
+                out_r = jnp.stack([new_p[0], new_q[0]], axis=2).reshape(n, n, -1)
+                out_i = jnp.stack([new_p[1], new_q[1]], axis=2).reshape(n, n, -1)
+                return out_r, out_i
 
-        apq_r = jnp.concatenate([a_r[p:p + 1, q] for (p, q) in pairs], axis=0)
-        apq_i = jnp.concatenate([a_i[p:p + 1, q] for (p, q) in pairs], axis=0)
-        app = jnp.concatenate([a_r[p:p + 1, p] for (p, _) in pairs], axis=0)
-        aqq = jnp.concatenate([a_r[q:q + 1, q] for (_, q) in pairs], axis=0)
-        c, s, e_r, e_i = _rotation_coeffs(apq_r, apq_i, app, aqq, eps)
-        ebar_r, ebar_i = e_r, -e_i
-        cN, sN = c[:, None], s[:, None]
-        erN, eiN = e_r[:, None], e_i[:, None]
-        ebrN, ebiN = ebar_r[:, None], ebar_i[:, None]
+            a_r, a_i = rotate_cols(a_r, a_i)
 
-        def rotate_cols(x_r, x_i):
-            xp_r = cols_perm(x_r, order).reshape(n, npairs, 2, -1)
-            xp_i = cols_perm(x_i, order).reshape(n, npairs, 2, -1)
-            pr_, pi_ = xp_r[:, :, 0], xp_i[:, :, 0]
-            qr_, qi_ = xp_r[:, :, 1], xp_i[:, :, 1]
-            tq = cmul(ebar_r, ebar_i, qr_, qi_)
-            new_p = (c * pr_ - s * tq[0], c * pi_ - s * tq[1])
-            tp = cmul(e_r, e_i, pr_, pi_)
-            new_q = (s * tp[0] + c * qr_, s * tp[1] + c * qi_)
-            out_r = jnp.stack([new_p[0], new_q[0]], axis=2).reshape(n, n, -1)
-            out_i = jnp.stack([new_p[1], new_q[1]], axis=2).reshape(n, n, -1)
-            return cols_perm(out_r, inv), cols_perm(out_i, inv)
+            ar_p = a_r.reshape(npairs, 2, n, -1)
+            ai_p = a_i.reshape(npairs, 2, n, -1)
+            pr_, pi_ = ar_p[:, 0], ai_p[:, 0]
+            qr_, qi_ = ar_p[:, 1], ai_p[:, 1]
+            tq = cmul(erN, eiN, qr_, qi_)
+            new_pr, new_pi = cN * pr_ - sN * tq[0], cN * pi_ - sN * tq[1]
+            tp = cmul(ebrN, ebiN, pr_, pi_)
+            new_qr, new_qi = sN * tp[0] + cN * qr_, sN * tp[1] + cN * qi_
+            a_r = jnp.stack([new_pr, new_qr], axis=1).reshape(n, n, -1)
+            a_i = jnp.stack([new_pi, new_qi], axis=1).reshape(n, n, -1)
 
-        a_r, a_i = rotate_cols(a_r, a_i)
+            v_r, v_i = rotate_cols(v_r, v_i)
 
-        ar_p = rows_perm(a_r, order).reshape(npairs, 2, n, -1)
-        ai_p = rows_perm(a_i, order).reshape(npairs, 2, n, -1)
-        pr_, pi_ = ar_p[:, 0], ai_p[:, 0]
-        qr_, qi_ = ar_p[:, 1], ai_p[:, 1]
-        tq = cmul(erN, eiN, qr_, qi_)
-        new_pr, new_pi = cN * pr_ - sN * tq[0], cN * pi_ - sN * tq[1]
-        tp = cmul(ebrN, ebiN, pr_, pi_)
-        new_qr, new_qi = sN * tp[0] + cN * qr_, sN * tp[1] + cN * qi_
-        out_r = jnp.stack([new_pr, new_qr], axis=1).reshape(n, n, -1)
-        out_i = jnp.stack([new_pi, new_qi], axis=1).reshape(n, n, -1)
-        a_r, a_i = rows_perm(out_r, inv), rows_perm(out_i, inv)
-
-        v_r, v_i = rotate_cols(v_r, v_i)
+            last = (swp == sweeps - 1) and (r == nrounds - 1)
+            t = invs[r] if last else trans[r]
+            a_r = _rows_perm(_cols_perm(a_r, t), t)
+            a_i = _rows_perm(_cols_perm(a_i, t), t)
+            v_r = _cols_perm(v_r, t)
+            v_i = _cols_perm(v_i, t)
     return a_r, a_i, v_r, v_i
+
+
+def _sweep(a_r, a_i, v_r, v_i, eps, rounds, n):
+    """One cyclic-Jacobi sweep (see :func:`_multi_sweep`)."""
+    return _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, 1)
 
 
 def _cmm(ar, ai, br, bi, n):
@@ -189,8 +243,7 @@ def _warm_cp(hr, hi, vr, vi, sweeps, rounds, n, eps):
     # M = V^dag H V  (near-diagonal when V is warm)
     tr, ti = _cmm(hr, hi, vr, vi, n)
     mr, mi = _cmm_hconj_left(vr, vi, tr, ti, n)
-    ar, ai, wr, wi = _sweep(mr, mi, vr, vi, eps, rounds, n) \
-        if sweeps == 1 else _multi_sweep(mr, mi, vr, vi, eps, rounds, n, sweeps)
+    ar, ai, wr, wi = _multi_sweep(mr, mi, vr, vi, eps, rounds, n, sweeps)
     # eigenvalues on the diagonal; clip and reconstruct pos = W w+ W^dag
     pos_r = jnp.zeros_like(hr)
     pos_i = jnp.zeros_like(hi)
@@ -204,12 +257,6 @@ def _warm_cp(hr, hi, vr, vi, sweeps, rounds, n, eps):
         pos_r = pos_r + xr_ * yr_ - xi_ * yi_
         pos_i = pos_i + xr_ * yi_ + xi_ * yr_
     return pos_r, pos_i, wr, wi
-
-
-def _multi_sweep(mr, mi, vr, vi, eps, rounds, n, sweeps):
-    for _ in range(sweeps):
-        mr, mi, vr, vi = _sweep(mr, mi, vr, vi, eps, rounds, n)
-    return mr, mi, vr, vi
 
 
 def _proj_tp(xr, xi, dim):
