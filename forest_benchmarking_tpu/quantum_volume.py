@@ -340,6 +340,48 @@ def _simulate_qv_circuit_density(perms: jnp.ndarray, gates: jnp.ndarray,
     return jnp.maximum(p, 0.0) / jnp.sum(jnp.maximum(p, 0.0))
 
 
+def _lift_2q(mat: jnp.ndarray, j: int, depth: int) -> jnp.ndarray:
+    """kron(I_{2^j}, mat, I_{2^(depth-j-2)}): a 4x4 on qubits (j, j+1) lifted
+    to the full 2^depth space."""
+    left = jnp.eye(2 ** j, dtype=mat.dtype)
+    right = jnp.eye(2 ** (depth - j - 2), dtype=mat.dtype)
+    return jnp.kron(jnp.kron(left, mat), right)
+
+
+def _simulate_qv_circuit_density_lifted(perms: jnp.ndarray, gates: jnp.ndarray,
+                                        kraus_lifts, depth: int) -> jnp.ndarray:
+    """Noisy output probabilities via LIFTED-matrix density evolution: gates
+    and Kraus operators become (2^depth, 2^depth) matrices and every
+    application is a plain matmul. Same semantics as
+    :func:`_simulate_qv_circuit_density`; preferred at depth >= 6 where the
+    tensor-contraction form's 2*depth-dimensional tensordots make XLA
+    compile time explode, while matmuls stay cheap to compile and ride the
+    MXU. ``kraus_lifts`` is a tuple of (K, 2^depth, 2^depth) stacks, one per
+    gate slot j (precomputed once, shared across circuits and layers).
+    """
+    d = 2 ** depth
+    hi = jax.lax.Precision.HIGHEST
+    rho0 = jnp.zeros((d, d), dtype=gates.dtype).at[0, 0].set(1.0)
+
+    def layer_body(layer, rho):
+        perm = perms[layer]
+        fwd = _bit_permute_indices(perm, depth)
+        rho = rho[fwd][:, fwd]
+        for j in range(depth // 2):
+            u = _lift_2q(gates[layer, j], j, depth)
+            rho = jnp.matmul(jnp.matmul(u, rho, precision=hi),
+                             jnp.conj(u.T), precision=hi)
+            kl = kraus_lifts[j]
+            t = jnp.einsum("kab,bc->kac", kl, rho, precision=hi)
+            rho = jnp.einsum("kac,kbc->ab", t, jnp.conj(kl), precision=hi)
+        inv = jnp.argsort(fwd)
+        return rho[inv][:, inv]
+
+    rho = jax.lax.fori_loop(0, depth, layer_body, rho0)
+    p = jnp.real(jnp.diagonal(rho))
+    return jnp.maximum(p, 0.0) / jnp.sum(jnp.maximum(p, 0.0))
+
+
 def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
                                  num_shots: int,
                                  dtype=jnp.float32,
@@ -379,9 +421,19 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
             # axon TPU tunnel (complex host->device transfers are unsupported)
             kraus = kraus[0] + 1j * kraus[1]
         kraus = kraus.astype(cdtype)
-        probs = jax.vmap(
-            lambda p, g: _simulate_qv_circuit_density(p, g, kraus, depth))(
-                perms, gates)
+        if depth >= 6:
+            # lifted-matrix form: fast to compile, MXU matmuls (see
+            # _simulate_qv_circuit_density_lifted)
+            kraus_lifts = tuple(
+                jax.vmap(lambda m, jj=j: _lift_2q(m, jj, depth))(kraus)
+                for j in range(depth // 2))
+            probs = jax.vmap(
+                lambda p, g: _simulate_qv_circuit_density_lifted(
+                    p, g, kraus_lifts, depth))(perms, gates)
+        else:
+            probs = jax.vmap(
+                lambda p, g: _simulate_qv_circuit_density(p, g, kraus, depth))(
+                    perms, gates)
 
     logits = jnp.log(jnp.clip(probs, jnp.finfo(dtype).tiny, None))
     samples = jax.random.categorical(ks, logits[:, None, :], axis=-1,

@@ -244,3 +244,28 @@ def test_qv_on_line_topology_with_noisy_swaps_fails_earlier():
                                           depths=np.array([depth]), rng=rng)
     # all-to-all path never emits SWAP, so its heavy-output prob is higher
     assert full_res[depth][0] > line_res[depth][0]
+
+
+def test_lifted_density_form_matches_tensor_form():
+    """The lifted-matrix noisy-QV evolution (used at depth >= 6) matches the
+    tensor-contraction form and the QVM density path."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        _simulate_qv_circuit_density, _simulate_qv_circuit_density_lifted,
+        _lift_2q)
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+
+    depth = 3
+    rng = np.random.RandomState(21)
+    permutations, gates = generate_abstract_qv_circuit(depth, rng)
+    ks = depolarizing_kraus_map(0.15)
+    two_q = jnp.asarray(np.stack([np.kron(a, b) for a in ks for b in ks]),
+                        jnp.complex128)
+    perms = jnp.asarray(np.stack(permutations))
+    g = jnp.asarray(gates, jnp.complex128)
+    tensor_form = np.asarray(_simulate_qv_circuit_density(perms, g, two_q,
+                                                          depth))
+    lifts = tuple(jax.vmap(lambda m, jj=j: _lift_2q(m, jj, depth))(two_q)
+                  for j in range(depth // 2))
+    lifted_form = np.asarray(_simulate_qv_circuit_density_lifted(perms, g,
+                                                                 lifts, depth))
+    np.testing.assert_allclose(lifted_form, tensor_form, atol=1e-12)
