@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "raster_a_matrix", "apg_fused_lanes", "apg_fused", "dykstra_fused_lanes",
+    "raster_a_matrix", "apg_fused_lanes", "apg_fused",
     "PARITY_PHASES", "HEADLINE_PHASES",
 ]
 
@@ -411,26 +411,6 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
     est_r, est_i, _, _ = _dykstra(est_r, est_i, v_r, v_i, final_iters,
                                   final_sweeps, dim, rounds, eps_rot)
     return est_r, est_i
-
-
-def dykstra_fused_lanes(xr, xi, *, dim: int, iters: int, sweeps: int = 2,
-                        init_sweeps: int = 3):
-    """Standalone fused Dykstra CPTP projection on lanes planes (warm-V)."""
-    n = dim * dim
-    rounds = _round_robin_pairs(n)
-    b = xr.shape[-1]
-    eps_rot = jnp.asarray(1e-30 if xr.dtype == jnp.float64 else 1e-18,
-                          xr.dtype)
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=xr.dtype)[:, :, None], (n, n, b))
-    # first iteration cold (extra sweeps), rest warm
-    st_r, st_i, v_r, v_i = _dykstra(xr, xi, eye, jnp.zeros_like(eye), 1,
-                                    init_sweeps, dim, rounds, eps_rot)
-    if iters > 1:
-        # continue with the dual variables reset is NOT Dykstra; re-run full
-        # loop warm instead: cheap because V is now warm.
-        st_r, st_i, v_r, v_i = _dykstra(xr, xi, v_r, v_i, iters, sweeps, dim,
-                                        rounds, eps_rot)
-    return st_r, st_i
 
 
 # ----------------------------------------------------------------------
