@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "raster_a_matrix", "apg_fused_lanes", "apg_fused",
-    "PARITY_PHASES", "HEADLINE_PHASES",
+    "PARITY_PHASES",
 ]
 
 
@@ -322,7 +322,10 @@ def raster_a_matrix(a: np.ndarray, d2: int) -> np.ndarray:
 # f64 tight-projection reference optimum (see module docstring).
 PARITY_PHASES: Tuple[Tuple[int, int, int], ...] = (
     (12, 1, 1), (10, 2, 1), (28, 6, 1))
-HEADLINE_PHASES: Tuple[Tuple[int, int, int], ...] = ((25, 1, 1),)
+# NOTE: a short schedule like ((25, 1, 1),) reproduces the statistical-
+# equivalence headline config, but measured slower than the XLA while_loop
+# path there (which exits early per batch-max) — the headline stays on the
+# XLA kernels; this fused solver owns the strict-parity configuration.
 
 
 def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
