@@ -57,6 +57,44 @@ BATCH = 16384          # headline knee; cold/PGDB time a 4096 slice (their optim
 SHOTS = 2000
 TARGET_SOLVES_PER_SEC = 1.0e4
 
+# TPU v5e single-chip peaks for the roofline figures below (public spec:
+# 197 TFLOP/s bf16 MXU; f32 "highest" matmuls run 6-pass bf16 so the f32
+# MXU ceiling is ~1/6 of that; the VPU does 8x128x4 f32 FLOPs/cycle at
+# ~1.7 GHz ~ 7 TFLOP/s). The fused solver is VPU-dominated, the headline
+# solver eigh/VPU-dominated, so fraction-of-VPU-peak is the honest roofline.
+V5E_BF16_MXU_TFLOPS = 197.0
+V5E_F32_VPU_TFLOPS = 7.0
+
+
+def fused_apg_flops_per_solve(phases, init_iters=8, init_sweeps=3,
+                              final_iters=20, final_sweeps=1,
+                              dim=DIM, a_rows=None) -> float:
+    """Analytic FLOPs of one fused-APG solve (ops/lanes_apg.py).
+
+    Counted per problem (the kernel is elementwise across lanes):
+    - each Dykstra iteration: hermitianize (2n^2) + basis rotation
+      M = V^dag H V (two complex n x n matmuls, 8n^3 each) + s Jacobi sweeps
+      (n-1 rounds of rotations on A columns+rows and V columns, ~36n^2 per
+      round) + eigen-reconstruction (8n^3) + TP projection (~4n^2);
+    - each outer iteration: p = Re(A x) and the gradient A^T eta (two
+      R x n^2 real mat-vecs, 2 R n^2 each), the cost reduction (~2R), and
+      momentum/update elementwise terms (~10 n^2);
+    with n = dim^2 and R the A-matrix row count.
+    """
+    n = dim * dim
+    if a_rows is None:
+        a_rows = 1080  # 2Q process-tomography A-matrix rows
+    per_sweep = 36.0 * n * n * (n - 1)
+    per_dyk = lambda s: 2 * n * n + 16.0 * n ** 3 + s * per_sweep \
+        + 8.0 * n ** 3 + 4 * n * n
+    per_outer = 2 * (2.0 * a_rows * n * n) + 2 * a_rows + 10 * n * n
+    total = init_iters * per_dyk(init_sweeps) + final_iters * per_dyk(final_sweeps)
+    for phase in phases:
+        outer, ld, s = phase[:3]
+        srest = phase[3] if len(phase) == 4 else s
+        total += outer * (per_outer + per_dyk(s) + (ld - 1) * per_dyk(srest))
+    return total
+
 
 def _make_data(a_dev, key):
     @jax.jit
@@ -72,7 +110,7 @@ def _make_data(a_dev, key):
 
 
 def _solver(method, maxiter, loop_dyk_iters=None, warm_start=False,
-            stop_tol=1e-6):
+            stop_tol=1e-6, return_iters=False):
     @jax.jit
     def solve(a_ri, n, chois_ri):
         a = join_complex(a_ri)
@@ -80,18 +118,39 @@ def _solver(method, maxiter, loop_dyk_iters=None, warm_start=False,
         est = pgdb_process_estimate_batched(
             a, n, dim=DIM, stop_tol=stop_tol, maxiter=maxiter, dyk_tol=1e-4,
             dyk_iters=20, method=method, loop_dyk_iters=loop_dyk_iters,
-            warm_start=warm_start)
+            warm_start=warm_start, return_iters=return_iters)
+        if return_iters:
+            est, iters = est
         err = jnp.sqrt(jnp.sum(jnp.abs(est - chois) ** 2, axis=(1, 2)))
-        return err / jnp.sqrt(jnp.sum(jnp.abs(chois) ** 2, axis=(1, 2)))
+        err = err / jnp.sqrt(jnp.sum(jnp.abs(chois) ** 2, axis=(1, 2)))
+        return (err, iters) if return_iters else err
     return solve
 
 
+def headline_flops_per_solve(mean_iters: float, dim=DIM, a_rows=1080) -> float:
+    """Estimated FLOPs of one warm-start APG solve (the headline config).
+
+    Per outer iteration: the two R x n^2 gradient mat-vecs (4 R n^2), one
+    Dykstra iteration whose 16x16 complex eigh we charge at ~30 n^3 (a
+    tridiagonalization + QR-iteration estimate — the one imprecise term),
+    reconstruction 8 n^3, and ~12 n^2 of elementwise updates. Plus ~6
+    Dykstra iterations of fixed overhead (warm-start projection + the final
+    converged projection). ``mean_iters`` is MEASURED per batch via
+    ``return_iters=True``, not assumed.
+    """
+    n = dim * dim
+    per_dyk = 30.0 * n ** 3 + 8.0 * n ** 3 + 6 * n * n
+    per_outer = 4.0 * a_rows * n * n + per_dyk + 12 * n * n
+    return mean_iters * per_outer + 6 * per_dyk
+
+
 def _time_solver(solve, a_dev, n, chois_ri, reps=4):
-    err = np.asarray(solve(a_dev, n, chois_ri))  # compile + warm
+    fetch = lambda out: jax.tree.map(np.asarray, out)  # full host fetch
+    err = fetch(solve(a_dev, n, chois_ri))  # compile + warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        err = np.asarray(solve(a_dev, n, chois_ri))
+        err = fetch(solve(a_dev, n, chois_ri))
         times.append(time.perf_counter() - t0)
     return err, min(times)
 
@@ -111,9 +170,12 @@ def tpu_throughput() -> dict:
     # optimum: the parity subprocess below measures the log-likelihood-ratio
     # statistic 2*N*deltaLL ~ 0.6-3 (the 1-sigma region for this 240-parameter
     # model is ~240) and parameter deviation ~10x below shot noise.
-    err_apg, dt_apg = _time_solver(
-        _solver("apg", 25, loop_dyk_iters=1, warm_start=True, stop_tol=1e-4),
-        a_dev, n, chois_ri)
+    solve_headline = _solver("apg", 25, loop_dyk_iters=1, warm_start=True,
+                             stop_tol=1e-4, return_iters=True)
+    (err_apg, iters), dt_apg = _time_solver(solve_headline, a_dev, n, chois_ri)
+    mean_iters = float(np.asarray(iters).mean())
+    headline_flops = headline_flops_per_solve(mean_iters)
+    headline_gflops = headline_flops * BATCH / dt_apg / 1e9
     # comparison solvers run their own optimal batch (4096): without the warm
     # start the vmapped while_loop tail grows with batch, so larger batches
     # make them slower per solve — timing them at 16384 would be unfair
@@ -121,14 +183,29 @@ def tpu_throughput() -> dict:
     # Its f64 output matches the converged tight-projection reference optimum
     # to < 1e-6 (measured below in the parity subprocess as
     # fused_parity_dev_f64) while clearing the 10^4 solves/s bar on-chip.
+    from forest_benchmarking_tpu.ops.lanes_apg import PARITY_TUNED_2Q
+
+    # the A-matrix is fixed per experiment design: production solvers reuse
+    # pinv(A), so it is precomputed (host, f64 for accuracy) and passed in
+    pv_host = np.linalg.pinv(
+        process_tomo_A_matrix(N_QUBITS).astype(np.complex128))
+    pinv_ri = jnp.asarray(np.stack([pv_host.real, pv_host.imag])
+                          .astype(np.float32))
+
     @jax.jit
-    def solve_fused(a_ri, nn, chois_ri):
+    def solve_fused(a_ri, nn, chois_ri, pv_ri):
         a = join_complex(a_ri)
         chois = join_complex(chois_ri)
-        est = apg_fused(a, nn, dim=DIM)
+        est = apg_fused(a, nn, dim=DIM, a_pinv=join_complex(pv_ri),
+                        **PARITY_TUNED_2Q)
         err = jnp.sqrt(jnp.sum(jnp.abs(est - chois) ** 2, axis=(1, 2)))
         return err / jnp.sqrt(jnp.sum(jnp.abs(chois) ** 2, axis=(1, 2)))
-    err_fused, dt_fused = _time_solver(solve_fused, a_dev, n, chois_ri)
+    err_fused, dt_fused = _time_solver(
+        lambda a_ri, nn, c_ri: solve_fused(a_ri, nn, c_ri, pinv_ri),
+        a_dev, n, chois_ri)
+    fused_flops = fused_apg_flops_per_solve(**{
+        k: v for k, v in PARITY_TUNED_2Q.items() if k != "mu"})
+    fused_gflops = fused_flops * BATCH / dt_fused / 1e9
     sub = 4096
     n4, c4 = n[:sub], chois_ri[:, :sub]
     err_cold, dt_cold = _time_solver(_solver("apg", 25, loop_dyk_iters=2),
@@ -136,7 +213,13 @@ def tpu_throughput() -> dict:
     err_pgdb, dt_pgdb = _time_solver(_solver("pgdb", 60), a_dev, n4, c4)
     return {
         "solves_per_sec": BATCH / dt_apg,
+        "headline_mean_iters": mean_iters,
+        "headline_flops_per_solve": headline_flops,
+        "headline_achieved_gflops": headline_gflops,
         "parity_solves_per_sec": BATCH / dt_fused,
+        "parity_flops_per_solve": fused_flops,
+        "parity_achieved_gflops": fused_gflops,
+        "parity_fraction_vpu_peak": fused_gflops / (V5E_F32_VPU_TFLOPS * 1e3),
         "mean_rel_frob_err_parity": float(err_fused.mean()),
         "apg_cold_solves_per_sec": sub / dt_cold,
         "pgdb_solves_per_sec": sub / dt_pgdb,
@@ -202,12 +285,13 @@ warm_llr = float(np.max(cost(warm) - cost(conv)) * 2 * grand_total)
 # the reference's own output at its default dyk_tol=1e-4 is only defined to
 # ~1e-4: restarting it from a different feasible point moves the stall point
 # by ~7e-5). Bar: < 1e-6.
-from forest_benchmarking_tpu.ops.lanes_apg import apg_fused
+from forest_benchmarking_tpu.ops.lanes_apg import apg_fused, PARITY_TUNED_2Q
 tight = np.asarray(pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4,
                                                  stop_tol=1e-14, maxiter=3000,
                                                  dyk_tol=1e-10,
                                                  dyk_iters=500))
-fused = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False))
+fused = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False,
+                             **PARITY_TUNED_2Q))
 fused_dev = float(np.max(np.abs(fused - tight)))
 print(json.dumps({"max_deviation_vs_oracle": float(dev),
                   "apg_vs_converged_pgdb": apg_dev,
@@ -239,9 +323,17 @@ def main():
         "value": round(perf["solves_per_sec"], 2),
         "unit": "solves/sec",
         "vs_baseline": round(perf["solves_per_sec"] / TARGET_SOLVES_PER_SEC, 4),
+        "headline_mean_iters": round(perf["headline_mean_iters"], 2),
+        "headline_flops_per_solve": round(perf["headline_flops_per_solve"]),
+        "headline_achieved_gflops": round(
+            perf["headline_achieved_gflops"], 1),
         "parity_solves_per_sec": round(perf["parity_solves_per_sec"], 2),
         "parity_vs_baseline": round(
             perf["parity_solves_per_sec"] / TARGET_SOLVES_PER_SEC, 4),
+        "parity_flops_per_solve": round(perf["parity_flops_per_solve"]),
+        "parity_achieved_gflops": round(perf["parity_achieved_gflops"], 1),
+        "parity_fraction_vpu_peak": round(
+            perf["parity_fraction_vpu_peak"], 4),
         "fused_parity_dev_f64": parity.get("fused_parity_dev"),
         "mean_rel_frob_err_parity_f32":
             round(perf["mean_rel_frob_err_parity"], 5),

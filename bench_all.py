@@ -199,31 +199,45 @@ def config5_quantum_volume(depth=8, num_circuits=1600, shots=1000):
 
 
 def config5_noisy_quantum_volume(depth=4, num_circuits=800, shots=1000,
-                                 depol_p=0.02):
-    """Noisy heavy-output sampling: batched density evolution, one dispatch."""
+                                 depol_p=0.02, noisy_method="auto",
+                                 num_trajectories=None):
+    """Noisy heavy-output sampling, one dispatch for the whole circuit batch.
+
+    ``noisy_method='density'`` is the exact kernel (tensor/lifted-matrix);
+    ``'trajectory'`` is the Kraus-unraveled statevector path that makes the
+    QV-relevant depths 7-8 fast (see quantum_volume.py)."""
     from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
     ks = depolarizing_kraus_map(depol_p)
     two_q = np.stack([np.kron(a, b) for a in ks for b in ks])
     kraus_ri = jnp.asarray(np.stack([two_q.real, two_q.imag]).astype(np.float32))
     sample = jax.jit(sample_heavy_outputs_batched,
                      static_argnames=("depth", "num_circuits", "num_shots",
-                                      "dtype"))
+                                      "dtype", "noisy_method",
+                                      "num_trajectories"))
 
     def step(key):
         return sample(key, depth=depth, num_circuits=num_circuits,
-                      num_shots=shots, dtype=DT, kraus=kraus_ri)
+                      num_shots=shots, dtype=DT, kraus=kraus_ri,
+                      noisy_method=noisy_method,
+                      num_trajectories=num_trajectories)
 
     num_heavy, dt = timed(step, jax.random.PRNGKey(6))
-    return {
+    out = {
         "metric": f"qv_depth{depth}_noisy_heavy_output_sim_throughput",
         "value": round(num_circuits / dt, 2), "unit": "circuits/sec",
         "vs_baseline": None, "num_circuits": num_circuits,
         "depolarizing_p": depol_p,
         "heavy_output_prob": round(int(num_heavy) / (num_circuits * shots), 4),
     }
+    if noisy_method != "auto":
+        out["noisy_method"] = noisy_method
+    if num_trajectories is not None:
+        out["num_trajectories"] = num_trajectories
+    return out
 
 
 def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_ALL.json"
     results = [
         config1_state_tomo(),
         # config 2 is the headline bench (incl. parity_solves_per_sec)
@@ -233,9 +247,15 @@ def main():
         config4_dfe_distances(),
         config5_quantum_volume(),
         config5_noisy_quantum_volume(),
+        # QV-relevant depth: the trajectory kernel makes noisy depth 8 fast
+        config5_noisy_quantum_volume(depth=8, num_circuits=200,
+                                     noisy_method="trajectory"),
     ]
-    for r in results:
-        print(json.dumps(r))
+    lines = [json.dumps(r) for r in results]
+    for line in lines:
+        print(line)
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":

@@ -31,30 +31,25 @@ def assign_registers_to_line_or_cycle(start: int, graph: nx.Graph,
         -> Tuple[Sequence[int], Sequence[int], int, int]:
     """Assign adder registers walking a line/cycle graph from ``start``
     (figure 4 layout of [CDKM96]: carry, b0, a0, ..., bn, an, z)."""
-    if 2 * num_length + 2 > nx.number_of_nodes(graph):
+    n_needed = 2 * num_length + 2
+    if n_needed > nx.number_of_nodes(graph):
         raise ValueError("There are not enough qubits in the graph to support "
                          "the computation.")
-    graph = graph.copy()
-    register_a = []
-    register_b = []
-    node = start
-    carry_ancilla = node
-    neighbors = list(graph.neighbors(node))
-    idx = 0
-    while idx < 2 * num_length:
-        last_node = node
-        graph.remove_node(last_node)
-        if len(neighbors) == 0:
-            raise ValueError("Encountered dead end; assignment failed.")
-        node = neighbors[0]
-        neighbors = list(graph.neighbors(node))
-        if (idx % 2) == 0:
-            register_b.append(node)
-        else:
-            register_a.append(node)
-        idx += 1
-    z_ancilla = next(graph.neighbors(node))
-    return register_a, register_b, carry_ancilla, z_ancilla
+    # Extract a simple path of n_needed nodes rooted at `start` by greedily
+    # stepping to any not-yet-visited neighbor (unambiguous on a line/cycle),
+    # then read the register layout straight off the path: figure 4 of
+    # [CDKM96] is carry, b0, a0, b1, a1, ..., b_{n-1}, a_{n-1}, z.
+    path = [start]
+    visited = {start}
+    while len(path) < n_needed:
+        fresh = [v for v in graph.neighbors(path[-1]) if v not in visited]
+        if not fresh:
+            raise ValueError("The qubit path dead-ends after "
+                             f"{len(path)} nodes; register assignment failed.")
+        path.append(fresh[0])
+        visited.add(fresh[0])
+    interleaved = path[1:-1]
+    return interleaved[1::2], interleaved[0::2], path[0], path[-1]
 
 
 def get_qubit_registers_for_adder(topology: nx.Graph, num_length: int,

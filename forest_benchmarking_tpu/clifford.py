@@ -300,8 +300,9 @@ def clifford_group(n: int):
     against the known |C_1| = 24, |C_2| = 11520.
     """
     if n not in CLIFFORD_GROUP_SIZES:
-        raise NotImplementedError("Group enumeration implemented for n <= 2; "
-                                  "larger n needs symplectic sampling (TODO).")
+        raise NotImplementedError(
+            "Group enumeration implemented for n <= 2; for larger n sample "
+            "uniformly with random_clifford_tableau (symplectic sampling).")
     gens = []
     for q in range(n):
         gens.append(("H", (q,)))

@@ -43,8 +43,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "raster_a_matrix", "apg_fused_lanes", "apg_fused",
-    "PARITY_PHASES",
+    "raster_a_matrix", "apg_fused_lanes", "apg_fused", "apg_fused_sharded",
+    "PARITY_PHASES", "PARITY_TUNED_2Q",
 ]
 
 
@@ -127,8 +127,13 @@ def _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, sweeps):
     jointly. All movement is static slices + concatenate (Pallas TPU lowers
     neither gather nor scatter); rounds run in pair layout with composed
     transition permutations (see :func:`_sweep_schedule`).
+
+    ``sweeps=0`` is a no-op (used by the sweep-free warm CP projection,
+    which reuses the carried eigenbasis verbatim).
     """
     del rounds  # schedule derived from n (kept for call-site compatibility)
+    if sweeps == 0:
+        return a_r, a_i, v_r, v_i
     npairs = n // 2
     orders, invs, trans = _sweep_schedule(n)
     nrounds = len(orders)
@@ -276,28 +281,49 @@ def _proj_tp(xr, xi, dim):
         (x5i - ci).reshape(dim * dim, dim * dim, b)
 
 
-def _dykstra(zr, zi, vr, vi, iters, sweeps, dim, rounds, eps):
+def _dykstra(zr, zi, vr, vi, iters, sweeps, dim, rounds, eps,
+             sweeps_rest: int = None):
     """``iters`` Dykstra alternating-projection iterations (CP then TP) with
     the warm-V CP projection; ends on the TP half-step (exactly TP output).
 
     Runs as a ``fori_loop`` so the traced graph holds ONE iteration body
-    (compile-time matters: the sweep is heavily unrolled)."""
-    n = dim * dim
+    (compile-time matters: the sweep is heavily unrolled).
 
-    def body(_, carry):
-        cp_ch_r, cp_ch_i, tp_ch_r, tp_ch_i, st_r, st_i, vr, vi = carry
-        pre_r, pre_i = st_r - cp_ch_r, st_i - cp_ch_i
-        cp_r, cp_i, vr, vi = _warm_cp(pre_r, pre_i, vr, vi, sweeps, rounds, n,
-                                      eps)
-        cp_ch_r, cp_ch_i = cp_r - pre_r, cp_i - pre_i
-        pre_r, pre_i = cp_r - tp_ch_r, cp_i - tp_ch_i
-        st_r, st_i = _proj_tp(pre_r, pre_i, dim)
-        tp_ch_r, tp_ch_i = st_r - pre_r, st_i - pre_i
-        return (cp_ch_r, cp_ch_i, tp_ch_r, tp_ch_i, st_r, st_i, vr, vi)
+    ``sweeps_rest`` (default: ``sweeps``) sets the Jacobi sweep count for
+    inner iterations after the first: with ``sweeps_rest=0`` the eigenbasis
+    V refreshed by iteration 1 is REUSED verbatim by the remaining
+    iterations (their CP projection rotates into V, clips the diagonal, and
+    reconstructs — no sweep at all). Measured: too crude for the parity
+    tail (dev ~3e-3); kept for cheap inexact phases.
+    (Round-3 note: warm-starting the correction variables across outer
+    iterations was measured and REJECTED — corrections are tied to the
+    specific prox input and go stale as it moves, degrading the parity
+    deviation 100x; see docs/performance.md round-3 dead ends.)
+    """
+    n = dim * dim
+    if sweeps_rest is None:
+        sweeps_rest = sweeps
+
+    def make_body(s):
+        def body(_, carry):
+            cp_ch_r, cp_ch_i, tp_ch_r, tp_ch_i, st_r, st_i, vr, vi = carry
+            pre_r, pre_i = st_r - cp_ch_r, st_i - cp_ch_i
+            cp_r, cp_i, vr, vi = _warm_cp(pre_r, pre_i, vr, vi, s, rounds, n,
+                                          eps)
+            cp_ch_r, cp_ch_i = cp_r - pre_r, cp_i - pre_i
+            pre_r, pre_i = cp_r - tp_ch_r, cp_i - tp_ch_i
+            st_r, st_i = _proj_tp(pre_r, pre_i, dim)
+            tp_ch_r, tp_ch_i = st_r - pre_r, st_i - pre_i
+            return (cp_ch_r, cp_ch_i, tp_ch_r, tp_ch_i, st_r, st_i, vr, vi)
+        return body
 
     zeros = jnp.zeros_like(zr)
     carry = (zeros, zeros, zeros, zeros, zr, zi, vr, vi)
-    carry = jax.lax.fori_loop(0, iters, body, carry)
+    if sweeps_rest == sweeps:
+        carry = jax.lax.fori_loop(0, iters, make_body(sweeps), carry)
+    else:
+        carry = make_body(sweeps)(0, carry)
+        carry = jax.lax.fori_loop(1, iters, make_body(sweeps_rest), carry)
     return carry[4], carry[5], carry[6], carry[7]
 
 
@@ -327,11 +353,24 @@ PARITY_PHASES: Tuple[Tuple[int, int, int], ...] = (
 # path there (which exits early per batch-max) — the headline stays on the
 # XLA kernels; this fused solver owns the strict-parity configuration.
 
+# Round-3 tuned 2Q (dim=4) parity configuration: the same < 1e-6 f64
+# deviation vs the tight-projection converged reference optimum (measured
+# across 4 datasets at 500-8000 shots/setting) at ~74% of the default
+# schedule's Dykstra work, by (a) a 2x larger validated step (mu scale 0.5;
+# 0.4 DIVERGES — measured) which shortens every phase, and (b) trimmed
+# init/final projections. Production callers should also precompute
+# ``a_pinv`` once per A-matrix (see :func:`apg_fused`).
+PARITY_TUNED_2Q = dict(
+    phases=((10, 1, 1), (10, 2, 1), (20, 6, 1)),
+    init_iters=6, init_sweeps=3, final_iters=12, final_sweeps=1,
+    mu=1.5 / 32)
+
 
 def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
                     phases: Sequence[Tuple[int, int, int]] = PARITY_PHASES,
                     init_iters: int = 8, init_sweeps: int = 3,
                     final_iters: int = 20, final_sweeps: int = 1,
+                    final_sweeps_rest: int = None,
                     mu: float = None):
     """Run the fused APG solve on lanes-layout inputs.
 
@@ -389,8 +428,14 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
     t = jnp.ones((1, b), rdtype)
     old_cost = cost(est_r, est_i)
 
-    for (iters, ld, sweeps) in phases:
-        def body(_, carry):
+    for phase in phases:
+        # (outer, dykstra_iters, sweeps[, sweeps_rest]) — the optional 4th
+        # entry makes inner Dykstra iterations after the first sweep-free
+        # (see _dykstra)
+        iters, ld, sweeps = phase[:3]
+        srest = phase[3] if len(phase) == 4 else None
+
+        def body(_, carry, ld=ld, sweeps=sweeps, srest=srest):
             est_r, est_i, prev_r, prev_i, v_r, v_i, t, old_cost = carry
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
             beta = ((t - 1) / t_next)[None]          # (1, 1, B)
@@ -400,7 +445,8 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
             z_r = y_r - inv_mu * g_r
             z_i = y_i - inv_mu * g_i
             cand_r, cand_i, v_r, v_i = _dykstra(z_r, z_i, v_r, v_i, ld,
-                                                sweeps, dim, rounds, eps_rot)
+                                                sweeps, dim, rounds, eps_rot,
+                                                sweeps_rest=srest)
             new_cost = cost(cand_r, cand_i)
             # O'Donoghue-Candes function restart
             t_next = jnp.where(new_cost > old_cost, jnp.ones_like(t_next),
@@ -412,7 +458,8 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
         est_r, est_i, prev_r, prev_i, v_r, v_i, t, old_cost = carry
 
     est_r, est_i, _, _ = _dykstra(est_r, est_i, v_r, v_i, final_iters,
-                                  final_sweeps, dim, rounds, eps_rot)
+                                  final_sweeps, dim, rounds, eps_rot,
+                                  sweeps_rest=final_sweeps_rest)
     return est_r, est_i
 
 
@@ -431,12 +478,14 @@ def _have_pallas() -> bool:
 
 @functools.partial(jax.jit, static_argnames=(
     "dim", "phases", "init_iters", "init_sweeps", "final_iters",
-    "final_sweeps", "block", "use_pallas"))
+    "final_sweeps", "final_sweeps_rest", "block", "use_pallas", "mu"))
 def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
               phases: Tuple[Tuple[int, int, int], ...] = PARITY_PHASES,
               init_iters: int = 8, init_sweeps: int = 3,
               final_iters: int = 20, final_sweeps: int = 1,
-              block: int = 128, use_pallas: bool = True) -> jnp.ndarray:
+              final_sweeps_rest: int = None,
+              block: int = 128, use_pallas: bool = True,
+              mu: float = None, a_pinv: jnp.ndarray = None) -> jnp.ndarray:
     """Fused-APG batched PGDB MLE: (R, d4) A-matrix (vec order, as used by
     ``pgdb_process_estimate_batched``), (B, R) counts -> (B, d2, d2) Chois.
 
@@ -444,6 +493,11 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
     static-schedule fused APG. On TPU the solve runs as a Pallas kernel over
     batch blocks (whole solver VMEM-resident); elsewhere the identical jnp
     code runs under XLA — same numerics.
+
+    ``a_pinv`` (optional, (d4, R)): precomputed ``jnp.linalg.pinv(a)``. The
+    A-matrix is fixed per experiment design, so production callers solving
+    many batches should compute the pseudo-inverse once — the in-call SVD
+    is a measurable fraction of a batch solve (docs/performance.md).
     """
     d2 = dim * dim
     rdtype = jnp.real(a).dtype
@@ -453,7 +507,9 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
     ai = jnp.imag(a_rast).astype(rdtype)
 
     # linear-inversion warm start (shared pinv, batched matvec)
-    x0 = jnp.linalg.pinv(a) @ n_counts.astype(a.dtype).T   # (d4, B) vec order
+    if a_pinv is None:
+        a_pinv = jnp.linalg.pinv(a)
+    x0 = a_pinv @ n_counts.astype(a.dtype).T               # (d4, B) vec order
     b = n_counts.shape[0]
     rho0 = x0.T.reshape(b, d2, d2).transpose(0, 2, 1)       # unvec (col-stack)
     rho0 = (rho0 + jnp.conj(jnp.swapaxes(rho0, -1, -2))) / 2
@@ -467,7 +523,8 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
 
     kw = dict(dim=dim, phases=tuple(phases), init_iters=init_iters,
               init_sweeps=init_sweeps, final_iters=final_iters,
-              final_sweeps=final_sweeps)
+              final_sweeps=final_sweeps, final_sweeps_rest=final_sweeps_rest,
+              mu=mu)
 
     # Mosaic requires the lane (batch-block) dimension to be a multiple of
     # 128; anything else falls back to the identical-numerics XLA path
@@ -512,3 +569,40 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
 
     est = est_r + 1j * est_i
     return jnp.transpose(est, (2, 0, 1)).astype(a.dtype)
+
+
+def apg_fused_sharded(a: jnp.ndarray, n_counts: jnp.ndarray, mesh,
+                      axis_name: str = "batch", **kw) -> jnp.ndarray:
+    """Run :func:`apg_fused` with the problem batch sharded across a mesh.
+
+    A bare ``pallas_call`` does not auto-partition across devices, so the
+    multi-chip path wraps the solver in ``shard_map``: each device runs the
+    full fused kernel (Pallas on TPU, the identical-numerics XLA path
+    elsewhere) on its local batch shard, with the A-matrix replicated. The
+    solve is elementwise in the batch dimension, so no collectives appear in
+    the hot loop — scaling is linear over ICI by construction.
+
+    :param a: (R, d4) complex A-matrix (replicated on every device).
+    :param n_counts: (B, R) normalized counts; B must divide evenly by the
+        mesh size, and each per-device shard must still satisfy
+        :func:`apg_fused`'s ``block`` divisibility to take the Pallas path
+        (otherwise that shard falls back to XLA — same numerics).
+    :param mesh: a ``jax.sharding.Mesh`` with ``axis_name`` as its (only)
+        batch axis, e.g. from ``parallel.make_mesh()``.
+    :param kw: forwarded to :func:`apg_fused` (``dim`` is required).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if n_counts.shape[0] % mesh.shape[axis_name] != 0:
+        raise ValueError(
+            f"batch {n_counts.shape[0]} must be divisible by the mesh axis "
+            f"{axis_name!r} size {mesh.shape[axis_name]}")
+    # check_vma=False: the solver's fori_loop carries mix replicated
+    # initializers (identity eigenbasis, momentum scalars) with shard-varying
+    # iterates, which the varying-manual-axes checker rejects; there are no
+    # collectives inside, so the check buys nothing here.
+    mapped = jax.shard_map(
+        lambda a_, n_: apg_fused(a_, n_, **kw), mesh=mesh,
+        in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
+        check_vma=False)
+    return mapped(a, n_counts)

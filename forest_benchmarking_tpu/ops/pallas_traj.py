@@ -1,0 +1,285 @@
+"""Fused Pallas kernel for Kraus-trajectory noisy-QV statevector evolution.
+
+The XLA formulation of the trajectory kernel (quantum_volume.py
+``_simulate_qv_circuit_traj``) spends its time in unfused HBM round-trips:
+every gate/channel/permutation step reads and writes the whole
+(circuits x 2^depth x trajectories) state, and the basis-permutation gathers
+and per-lane Kraus application lower poorly. This kernel keeps one
+(2^depth, 128-trajectory) state block VMEM-resident for the ENTIRE circuit:
+
+- **Permutations as one-hot matmuls.** Pallas TPU lowers no gather; each
+  layer-boundary basis permutation h becomes a (2^d, 2^d) one-hot matrix
+  built in-kernel from an index row (two compares) and applied on the MXU.
+  Consecutive boundaries are pre-composed on indices (h = inv_l o fwd_{l+1})
+  outside the kernel, so there is ONE perm matmul per boundary, not two.
+- **Branch selection on the MXU.** The per-trajectory Kraus weights
+  p_k = <psi|K_k^dag K_k|psi> come from the pair-reduced density (16
+  reductions) contracted against the precomputed M_k in one (K, 16) x
+  (16, T) matmul; the sampled operator is materialized per-lane as
+  Ksel = sel^T K (another small matmul) and applied as broadcast FMAs.
+- **Layers under fori_loop.** The loop body indexes gates/uniforms/index
+  maps by the layer counter, so the traced kernel holds one layer, keeping
+  Mosaic compile time flat in depth.
+
+Same math as the XLA kernel: given identical uniforms both samplers draw
+from identical per-slot branch distributions (tested in interpret mode).
+Reference semantics: forest quantum_volume.py:94-118 (heavy outputs) with
+noise per applied gate, cf. docs/performance.md round-3 notes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["traj_probs_pallas", "supports_pallas_traj"]
+
+_LB = 128  # trajectory lane block
+
+
+def supports_pallas_traj(depth: int) -> bool:
+    """Pallas path constraint: every slot reshape keeps the second-minor dim
+    >= 8 sublanes, which holds for depth >= 7 (r = 2^(depth-j-2) >= 8)."""
+    if depth < 7:
+        return False
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _boundary_maps(perms: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Compose per-layer basis permutations into boundary index maps.
+
+    ``fwd_l`` permutes amplitudes so layer l's gates act at static positions
+    (psi_l[x] = psi_orig[fwd_l[x]]); the kernel applies one boundary map per
+    layer: h_0 = fwd_0, h_l = inv_{l-1}[fwd_l] (leave layer l-1's basis and
+    enter layer l's in one step), and h_depth = inv_{depth-1} restores the
+    original basis at the end.
+
+    :param perms: (depth, depth) int array of qubit permutations.
+    :return: (depth + 1, 2^depth) int32 index maps.
+    """
+    from forest_benchmarking_tpu.quantum_volume import _bit_permute_indices
+
+    fwd = jnp.stack([_bit_permute_indices(perms[l], depth)
+                     for l in range(depth)])          # (depth, 2^d)
+    inv = jnp.argsort(fwd, axis=1)
+    hs = [fwd[0]]
+    for l in range(1, depth):
+        hs.append(inv[l - 1][fwd[l]])
+    hs.append(inv[depth - 1])
+    return jnp.stack(hs).astype(jnp.int32)
+
+
+def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
+            n_kraus: int):
+    """One (circuit, lane-block) instance: evolve (2^d, LB) trajectories.
+
+    h_ref: (1, depth+1, 2^d) int32 boundary index maps      [VMEM]
+    g_ref: (1, depth, depth//2, 2, 16) f32 gate planes      [VMEM]
+    u_ref: (1, depth, depth//2, LB) f32 branch uniforms     [VMEM]
+    kr_ref: (2, K, 16) f32 Kraus planes (shared)            [VMEM]
+    m_ref:  (2, K, 16) f32 (K^dag K)^T planes (shared)      [VMEM]
+    out_ref: (1, 2^d, LB) f32 per-trajectory probabilities  [VMEM]
+    """
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    d = 2 ** depth
+    slots = depth // 2
+    hi = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+
+    kr_r = kr_ref[0]                      # (K, 16)
+    kr_i = kr_ref[1]
+    m_r = m_ref[0]
+    m_i = m_ref[1]
+
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+
+    def permute(pr, pi, l):
+        """psi[x] <- psi[h[x]] via a one-hot contraction on the MXU."""
+        h_row = h_ref[0, l].reshape(1, d)                 # (1, d)
+        onehot_t = (iota_col == h_row).astype(f32)        # [y, x] = (y==h[x])
+        dn = (((0,), (0,)), ((), ()))
+        return (jax.lax.dot_general(onehot_t, pr, dn, precision=hi,
+                                    preferred_element_type=f32),
+                jax.lax.dot_general(onehot_t, pi, dn, precision=hi,
+                                    preferred_element_type=f32))
+
+    def apply_4x4(pr, pi, j, coef_r, coef_i, scalar_coefs):
+        """Apply a 4x4 complex operator at positions (j, j+1).
+
+        ``scalar_coefs=True``: coef_* index scalars (shared gate);
+        otherwise coef_* is a (16, LB) per-lane plane (sampled Kraus)."""
+        left = 2 ** j
+        right = 2 ** (depth - j - 2)
+        pr4 = pr.reshape(left, 4, right, _LB)
+        pi4 = pi.reshape(left, 4, right, _LB)
+        outs_r, outs_i = [], []
+        for a in range(4):
+            acc_r = None
+            acc_i = None
+            for b in range(4):
+                if scalar_coefs:
+                    cr = coef_r[a * 4 + b]
+                    ci = coef_i[a * 4 + b]
+                else:
+                    cr = coef_r[a * 4 + b].reshape(1, 1, _LB)
+                    ci = coef_i[a * 4 + b].reshape(1, 1, _LB)
+                tr = cr * pr4[:, b] - ci * pi4[:, b]
+                ti = cr * pi4[:, b] + ci * pr4[:, b]
+                acc_r = tr if acc_r is None else acc_r + tr
+                acc_i = ti if acc_i is None else acc_i + ti
+            outs_r.append(acc_r)
+            outs_i.append(acc_i)
+        new_r = jnp.stack(outs_r, axis=1).reshape(d, _LB)
+        new_i = jnp.stack(outs_i, axis=1).reshape(d, _LB)
+        return new_r, new_i
+
+    def channel(pr, pi, j, l):
+        left = 2 ** j
+        right = 2 ** (depth - j - 2)
+        pr4 = pr.reshape(left, 4, right, _LB)
+        pi4 = pi.reshape(left, 4, right, _LB)
+        # pair-reduced density rho[a,b] = sum_{l,r} psi_a conj(psi_b)
+        rho_r = []
+        rho_i = []
+        for a in range(4):
+            for b in range(4):
+                rr = jnp.sum((pr4[:, a] * pr4[:, b]
+                              + pi4[:, a] * pi4[:, b]).reshape(-1, _LB),
+                             axis=0, keepdims=True)
+                ri = jnp.sum((pi4[:, a] * pr4[:, b]
+                              - pr4[:, a] * pi4[:, b]).reshape(-1, _LB),
+                             axis=0, keepdims=True)
+                rho_r.append(rr)
+                rho_i.append(ri)
+        rho_r = jnp.concatenate(rho_r, axis=0)            # (16, LB) [a*4+b]
+        rho_i = jnp.concatenate(rho_i, axis=0)
+        # p_k = sum_ab M_k[a,b] rho[b,a]  (real by hermiticity); m_ref holds
+        # M TRANSPOSED (built host-side), so the contraction is direct
+        dn = (((1,), (0,)), ((), ()))
+        p = (jax.lax.dot_general(m_r, rho_r, dn, precision=hi,
+                                 preferred_element_type=f32)
+             - jax.lax.dot_general(m_i, rho_i, dn, precision=hi,
+                                   preferred_element_type=f32))  # (K, LB)
+        p = jnp.maximum(p, 0.0)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+        u = u_ref[0, l, j].reshape(1, _LB)
+        # branch k* = number of cumulative sums strictly below u (same rule
+        # as the XLA kernel); Mosaic lowers no cumsum, so unroll the K=16
+        # running sum and materialize a one-hot row mask
+        run = jnp.zeros((1, _LB), f32)
+        below_rows = []
+        for k in range(n_kraus):
+            run = run + p[k:k + 1]
+            below_rows.append((run < u).astype(f32))
+        below = jnp.concatenate(below_rows, axis=0)        # (K, LB)
+        idx = jnp.sum(below.astype(jnp.int32), axis=0,
+                      keepdims=True)                       # (1, LB) in [0, K)
+        krange = jax.lax.broadcasted_iota(jnp.int32, (n_kraus, _LB), 0)
+        sel = (krange == jnp.minimum(idx, n_kraus - 1)).astype(f32)
+        # Ksel[ab, t] = sum_k sel[k, t] K_k[ab]
+        dnk = (((0,), (0,)), ((), ()))
+        ks_r = jax.lax.dot_general(kr_r, sel, dnk, precision=hi,
+                                   preferred_element_type=f32)  # (16, LB)
+        ks_i = jax.lax.dot_general(kr_i, sel, dnk, precision=hi,
+                                   preferred_element_type=f32)
+        pr, pi = apply_4x4(pr, pi, j, ks_r, ks_i, scalar_coefs=False)
+        nrm2 = jnp.sum(pr * pr + pi * pi, axis=0, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
+        return pr * inv, pi * inv
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, _LB), 0)
+    psi_r = jnp.where(row == 0, 1.0, 0.0).astype(f32)   # |0...0>
+    psi_i = jnp.zeros((d, _LB), f32)
+
+    def layer_body(l, carry):
+        pr, pi = carry
+        pr, pi = permute(pr, pi, l)
+        for j in range(slots):
+            g_r = g_ref[0, l, j, 0]                        # (16,)
+            g_i = g_ref[0, l, j, 1]
+            pr, pi = apply_4x4(pr, pi, j, g_r, g_i, scalar_coefs=True)
+            pr, pi = channel(pr, pi, j, l)
+        return pr, pi
+
+    psi_r, psi_i = jax.lax.fori_loop(0, depth, layer_body, (psi_r, psi_i))
+    psi_r, psi_i = permute(psi_r, psi_i, depth)            # back to original
+    p = psi_r * psi_r + psi_i * psi_i
+    out_ref[0] = p / jnp.sum(p, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "interpret"))
+def traj_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
+                      kraus_ri: jnp.ndarray, uniforms: jnp.ndarray,
+                      depth: int, interpret: bool = False) -> jnp.ndarray:
+    """Per-trajectory noisy output probabilities, fused on TPU.
+
+    :param perms: (C, depth, depth) int permutations.
+    :param gates_ri: (2, C, depth, depth//2, 4, 4) f32 Haar-gate planes.
+    :param kraus_ri: (2, K, 4, 4) f32 Kraus planes.
+    :param uniforms: (C, depth, depth//2, T) f32; T must be a multiple of 128.
+    :return: (C, 2^depth, T) f32 probabilities (columns sum to 1).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = perms.shape[0]
+    t = uniforms.shape[-1]
+    if t % _LB != 0:
+        raise ValueError(f"trajectory count {t} must be a multiple of {_LB}")
+    d = 2 ** depth
+    slots = depth // 2
+    n_kraus = kraus_ri.shape[1]
+    f32 = jnp.float32
+
+    hmaps = jax.vmap(lambda p: _boundary_maps(p, depth))(perms)  # (C, depth+1, d)
+    gates = jnp.transpose(gates_ri, (1, 2, 3, 0, 4, 5)).reshape(
+        c, depth, slots, 2, 16).astype(f32)
+    kr = kraus_ri.reshape(2, n_kraus, 16).astype(f32)
+    kraus = kr[0] + 1j * kr[1]
+    m_ops = jnp.einsum("kba,kbc->kac", jnp.conj(kraus.reshape(-1, 4, 4)),
+                       kraus.reshape(-1, 4, 4),
+                       precision=jax.lax.Precision.HIGHEST)
+    # the kernel contracts p_k = sum_ab M[a,b] rho[b,a]; ship M transposed so
+    # the in-kernel contraction needs no relayout
+    m_t = jnp.swapaxes(m_ops, -1, -2)
+    m = jnp.stack([jnp.real(m_t), jnp.imag(m_t)]).reshape(
+        2, n_kraus, 16).astype(f32)
+
+    grid = (c, t // _LB)
+    kern = functools.partial(_kernel, depth=depth, n_kraus=n_kraus)
+    try:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # older jax spelling
+        compiler_params = pltpu.TPUCompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, depth + 1, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, depth, slots, 2, 16), lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, depth, slots, _LB), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_kraus, 16), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_kraus, 16), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, _LB), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, d, t), f32),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(hmaps, gates, uniforms.astype(f32), kr, m)

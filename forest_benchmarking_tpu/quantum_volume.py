@@ -153,7 +153,12 @@ def topology_restricted_program_generator(
         for q in physical:
             if int(q) not in adj:
                 raise ValueError(f"Qubit {q} is not in the topology")
-        # loc[l] = physical qubit currently holding logical qubit l
+        # occupant[p] = logical qubit currently on physical qubit p (None for
+        # spare topology qubits, which routing may freely swap through);
+        # loc[l] = physical qubit currently holding logical qubit l.
+        occupant: Dict[int, Optional[int]] = {p: None for p in adj}
+        for l in range(depth):
+            occupant[int(physical[l])] = l
         loc = {l: int(physical[l]) for l in range(depth)}
         circ = Circuit()
         routing_swaps: List[Tuple[int, int]] = []
@@ -162,21 +167,20 @@ def topology_restricted_program_generator(
             nonlocal circ
             circ += Gate("SWAP", (), (a, b))
             routing_swaps.append((a, b))
+            occupant[a], occupant[b] = occupant[b], occupant[a]
+            for p in (a, b):
+                if occupant[p] is not None:
+                    loc[occupant[p]] = p
 
         for perm, layer in zip(permutations, gates):
             for gate_idx, gate in enumerate(layer):
                 la, lb = int(perm[gate_idx]), int(perm[gate_idx + 1])
-                pa, pb = loc[la], loc[lb]
-                if pb not in adj.get(pa, ()):
-                    path = shortest_path(pa, pb)
-                    # walk logical qubit la along the path until adjacent
-                    inv = {p: l for l, p in loc.items()}
-                    for step in path[1:-1]:
+                if loc[lb] not in adj.get(loc[la], ()):
+                    # walk logical qubit la along a shortest physical path
+                    # (possibly through spare qubits) until adjacent to lb
+                    for step in shortest_path(loc[la], loc[lb])[1:-1]:
                         swap(loc[la], step)
-                        other = inv[step]
-                        inv[loc[la]], inv[step] = other, la
-                        loc[other], loc[la] = loc[la], step
-                    pa, pb = loc[la], loc[lb]
+                pa, pb = loc[la], loc[lb]
                 circ += Gate("QVGATE", (), (pa, pb),
                              matrix=tuple(map(tuple, np.asarray(gate, complex))))
         # restore the identity mapping (so measurement qubits read out logical
@@ -382,10 +386,88 @@ def _simulate_qv_circuit_density_lifted(perms: jnp.ndarray, gates: jnp.ndarray,
     return jnp.maximum(p, 0.0) / jnp.sum(jnp.maximum(p, 0.0))
 
 
+def _apply_gate_slot_traj(psi: jnp.ndarray, u4: jnp.ndarray, j: int,
+                          depth: int) -> jnp.ndarray:
+    """Apply a 4x4 unitary at positions (j, j+1) to a (2^depth, T) trajectory
+    batch (trajectories ride the trailing/lane dimension)."""
+    left = 2 ** j
+    right = 2 ** (depth - j - 2)
+    t = psi.shape[-1]
+    ps = psi.reshape(left, 4, right, t)
+    out = jnp.einsum("ab,lbrt->lart", u4, ps,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(-1, t)
+
+
+def _apply_channel_slot_traj(psi: jnp.ndarray, kraus: jnp.ndarray,
+                             m_ops: jnp.ndarray, u: jnp.ndarray, j: int,
+                             depth: int) -> jnp.ndarray:
+    """Monte-Carlo unraveling of a 2q Kraus channel at positions (j, j+1):
+    each trajectory samples ONE Kraus operator k with the Born weight
+    p_k = <psi| K_k^dag K_k |psi> and jumps to K_k|psi>/||K_k psi||.
+
+    The weights come from the pair-reduced density (16 entries per
+    trajectory), so the K-way branch costs ~one gate application plus a
+    (K, 4, 4) x (4, 4, T) contraction — NOT K full state applications.
+
+    :param psi: (2^depth, T) trajectory statevectors.
+    :param kraus: (K, 4, 4) Kraus stack.
+    :param m_ops: (K, 4, 4) precomputed K_k^dag K_k.
+    :param u: (T,) uniform variates selecting the branch.
+    """
+    left = 2 ** j
+    right = 2 ** (depth - j - 2)
+    t = psi.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    ps = psi.reshape(left, 4, right, t)
+    rho_pair = jnp.einsum("lart,lbrt->abt", ps, jnp.conj(ps), precision=hi)
+    p = jnp.real(jnp.einsum("kab,bat->kt", m_ops, rho_pair, precision=hi))
+    p = jnp.maximum(p, 0.0)
+    p = p / jnp.sum(p, axis=0, keepdims=True)
+    idx = jnp.sum(jnp.cumsum(p, axis=0) < u[None, :], axis=0)  # (T,)
+    ksel = kraus[idx]                                          # (T, 4, 4)
+    out = jnp.einsum("tab,lbrt->lart", ksel, ps, precision=hi).reshape(-1, t)
+    nrm = jnp.sqrt(jnp.sum(jnp.abs(out) ** 2, axis=0, keepdims=True))
+    return out / jnp.maximum(nrm, jnp.finfo(nrm.dtype).tiny)
+
+
+def _simulate_qv_circuit_traj(perms: jnp.ndarray, gates: jnp.ndarray,
+                              kraus: jnp.ndarray, m_ops: jnp.ndarray,
+                              uniforms: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Noisy per-trajectory output probabilities of one model circuit via
+    Kraus-unraveled statevector evolution — the O(T 2^d) replacement for the
+    O((2^d)^2..3) density kernels at large depth. Same channel placement as
+    :func:`_simulate_qv_circuit_density` (the channel follows every Haar gate
+    on its qubit pair); the trajectory average converges to the density
+    kernel's distribution (tested at shallow depth).
+
+    :param uniforms: (depth, depth//2, T) branch-selection variates.
+    :return: (2^depth, T) per-trajectory probabilities.
+    """
+    d = 2 ** depth
+    t = uniforms.shape[-1]
+    psi0 = jnp.zeros((d, t), dtype=gates.dtype).at[0].set(1.0)
+
+    def layer_body(layer, psi):
+        fwd = _bit_permute_indices(perms[layer], depth)
+        psi = psi[fwd]
+        for j in range(depth // 2):
+            psi = _apply_gate_slot_traj(psi, gates[layer, j], j, depth)
+            psi = _apply_channel_slot_traj(psi, kraus, m_ops,
+                                           uniforms[layer, j], j, depth)
+        return psi[jnp.argsort(fwd)]
+
+    psi = jax.lax.fori_loop(0, depth, layer_body, psi0)
+    p = jnp.abs(psi) ** 2
+    return p / jnp.sum(p, axis=0, keepdims=True)
+
+
 def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
                                  num_shots: int,
                                  dtype=jnp.float32,
-                                 kraus: Optional[jnp.ndarray] = None) \
+                                 kraus: Optional[jnp.ndarray] = None,
+                                 noisy_method: str = "auto",
+                                 num_trajectories: Optional[int] = None) \
         -> jnp.ndarray:
     """One jit: sample circuits, find heavy sets, sample shots, count heavies.
 
@@ -397,10 +479,21 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
 
     With ``kraus`` — a (K, 4, 4) two-qubit Kraus stack applied after every
     Haar gate on its qubit pair — shots are drawn from the NOISY output
-    distribution (batched density-matrix evolution, one dispatch for all
-    circuits; no per-circuit recompiles), while the heavy sets still come
-    from the ideal circuit, exactly as the per-circuit QVM path defines QV
-    for noisy devices (reference quantum_volume.py:94-118,154-208).
+    distribution, while the heavy sets still come from the ideal circuit,
+    exactly as the per-circuit QVM path defines QV for noisy devices
+    (reference quantum_volume.py:94-118,154-208). Three noisy kernels:
+
+    - ``noisy_method="density"``: exact density-matrix evolution (tensor form
+      at depth < 6, lifted-matrix MXU form at depth >= 6) — the parity oracle.
+    - ``noisy_method="trajectory"``: Kraus-unraveled statevector trajectories,
+      O(T 2^d) instead of O((2^d)^2) memory / (2^d)^3 matmuls — the fast path
+      at QV-relevant depths. ``num_trajectories`` (default: ``num_shots``,
+      must divide it) sets T; each trajectory contributes
+      ``num_shots / T`` shots, so T = num_shots gives fully independent
+      shots and smaller T trades shot independence (slightly wider CI, same
+      expectation) for speed.
+    - ``noisy_method="auto"`` (default): density at depth <= 6, trajectory
+      above.
     """
     kp, kg, ks = jax.random.split(key, 3)
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
@@ -421,6 +514,50 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
             # axon TPU tunnel (complex host->device transfers are unsupported)
             kraus = kraus[0] + 1j * kraus[1]
         kraus = kraus.astype(cdtype)
+        if noisy_method not in ("auto", "density", "trajectory"):
+            raise ValueError(f"unknown noisy_method {noisy_method!r}")
+        method = noisy_method
+        if method == "auto":
+            method = "density" if depth <= 6 else "trajectory"
+        if method == "trajectory":
+            t = num_shots if num_trajectories is None else num_trajectories
+            if num_shots % t != 0:
+                raise ValueError(f"num_trajectories ({t}) must divide "
+                                 f"num_shots ({num_shots})")
+            shots_per_traj = num_shots // t
+            ku, kt = jax.random.split(ks)
+            from forest_benchmarking_tpu.ops.pallas_traj import (
+                supports_pallas_traj, traj_probs_pallas)
+            if (supports_pallas_traj(depth)
+                    and jax.default_backend() not in ("cpu",)):
+                # fused kernel: whole evolution VMEM-resident per 128-lane
+                # trajectory block; pad T up to the lane block and slice
+                t_pad = -(-t // 128) * 128
+                uniforms = jax.random.uniform(
+                    ku, (num_circuits, depth, depth // 2, t_pad),
+                    dtype=jnp.float32)
+                gates_ri = jnp.stack([jnp.real(gates), jnp.imag(gates)])
+                kraus_ri = jnp.stack([jnp.real(kraus), jnp.imag(kraus)])
+                traj_probs = traj_probs_pallas(
+                    perms, gates_ri.astype(jnp.float32),
+                    kraus_ri.astype(jnp.float32), uniforms,
+                    depth)[:, :, :t].astype(dtype)
+            else:
+                m_ops = jnp.einsum("kba,kbc->kac", jnp.conj(kraus), kraus)
+                uniforms = jax.random.uniform(
+                    ku, (num_circuits, depth, depth // 2, t), dtype=dtype)
+                traj_probs = jax.vmap(
+                    lambda p, g, u: _simulate_qv_circuit_traj(
+                        p, g, kraus, m_ops, u, depth))(perms, gates, uniforms)
+            # (C, 2**depth, T) -> sample shots_per_traj per trajectory
+            logits = jnp.log(jnp.clip(jnp.swapaxes(traj_probs, 1, 2),
+                                      jnp.finfo(dtype).tiny, None))
+            samples = jax.random.categorical(
+                kt, logits[:, :, None, :], axis=-1,
+                shape=(num_circuits, t, shots_per_traj))
+            sampled_heavy = jnp.take_along_axis(
+                heavy, samples.reshape(num_circuits, -1), axis=1)
+            return jnp.sum(sampled_heavy.astype(jnp.int32))
         if depth >= 6:
             # lifted-matrix form: fast to compile, MXU matmuls (see
             # _simulate_qv_circuit_density_lifted)
@@ -454,24 +591,29 @@ def measure_quantum_volume_batched(key=None, max_depth: int = 8,
                                    achievable_threshold: float = 2 / 3,
                                    stop_when_fail: bool = True,
                                    dtype=jnp.float32,
-                                   kraus: Optional[np.ndarray] = None) \
+                                   kraus: Optional[np.ndarray] = None,
+                                   noisy_method: str = "auto",
+                                   num_trajectories: Optional[int] = None) \
         -> Dict[int, Tuple[float, float]]:
     """Scan depths 2..max_depth with the fully-batched kernel.
 
     ``kraus`` (optional (K, 4, 4) stack) switches every depth to the noisy
-    density-matrix path — the batched analog of running
-    :func:`measure_quantum_volume` on a QVM with a noisy QVGATE."""
+    path — the batched analog of running :func:`measure_quantum_volume` on a
+    QVM with a noisy QVGATE. ``noisy_method``/``num_trajectories`` select and
+    tune the noisy kernel (see :func:`sample_heavy_outputs_batched`)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     results = {}
     sample_jit = jax.jit(sample_heavy_outputs_batched,
                          static_argnames=("depth", "num_circuits", "num_shots",
-                                          "dtype"))
+                                          "dtype", "noisy_method",
+                                          "num_trajectories"))
     for depth in range(2, max_depth + 1):
         key, sub = jax.random.split(key)
         num_heavy = int(sample_jit(sub, depth=depth, num_circuits=num_circuits,
                                    num_shots=num_shots, dtype=dtype,
-                                   kraus=kraus))
+                                   kraus=kraus, noisy_method=noisy_method,
+                                   num_trajectories=num_trajectories))
         prob, conf = calculate_prob_est_and_err(num_heavy, num_circuits,
                                                 num_shots)
         results[depth] = (prob, conf)

@@ -56,16 +56,9 @@ def get_change_of_basis_from_eigvecs(eigenvectors: Sequence[np.ndarray]) -> np.n
     """Unitary sending each computational basis state to the given eigenvector."""
     assert len(eigenvectors) > 1 and is_pos_pow_two(len(eigenvectors)), \
         "Specification of all dim-many eigenvectors is required."
-    eigs = []
-    for eig in eigenvectors:
-        eig = np.asarray(eig)
-        shape = eig.shape
-        if len(shape) == 1:
-            eig = eig[np.newaxis]
-        eigs.append(eig.reshape(max(shape), 1))
-    dim = eigs[0].shape[0]
-    comp_basis = [row[np.newaxis] for row in np.eye(dim)]
-    return sum(np.kron(ev, cb) for ev, cb in zip(eigs, comp_basis))
+    # U = sum_k |e_k><k| is simply the matrix whose k-th COLUMN is e_k
+    # (inputs may be 1d vectors or row/column 2d vectors).
+    return np.column_stack([np.asarray(e).reshape(-1) for e in eigenvectors])
 
 
 def change_of_basis_matrix_to_circuit(qubits: Sequence[int],

@@ -592,10 +592,10 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
 
     init = (est0, est0, jnp.asarray(1.0, rdtype), cost(est0),
             jnp.asarray(jnp.inf, rdtype), jnp.asarray(0))
-    est, _, _, _, _, _ = lax.while_loop(cond, body, init)
+    est, _, _, _, _, it = lax.while_loop(cond, body, init)
     if loop_dyk_iters is not None:
         est = proj_full(est)
-    return est
+    return est, it
 
 
 _pgdb_kernel_jit = jax.jit(_pgdb_kernel, static_argnames=(
@@ -637,7 +637,8 @@ def pgdb_process_estimate(results: List[ExperimentResult], qubits: List[int],
                                              "stop_tol", "maxiter", "dyk_tol",
                                              "dyk_iters", "cp_method",
                                              "ns_iters", "method",
-                                             "loop_dyk_iters", "warm_start"))
+                                             "loop_dyk_iters", "warm_start",
+                                             "return_iters"))
 def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
                                   trace_preserving: bool = True,
                                   stop_tol: float = 1e-10, maxiter: int = 1000,
@@ -647,7 +648,8 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
                                   ns_iters: int = 24,
                                   method: str = "pgdb",
                                   loop_dyk_iters: Optional[int] = None,
-                                  warm_start: bool = False) -> jnp.ndarray:
+                                  warm_start: bool = False,
+                                  return_iters: bool = False) -> jnp.ndarray:
     """Batched PGDB: (R, d^4) shared A-matrix, (B, R) counts -> (B, d^2, d^2).
 
     This is the BASELINE north-star kernel: thousands of 2Q process-MLE solves
@@ -656,6 +658,10 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
     ``loop_dyk_iters`` (APG only) caps the Dykstra loop inside the descent
     iterations; the result still gets a final converged projection, so it is
     always CPTP. See :func:`_apg_kernel`.
+
+    ``return_iters=True`` (APG only) additionally returns the per-problem
+    outer-iteration counts (B,) int32 — useful for convergence diagnostics
+    and FLOPs accounting (bench.py's roofline figures).
 
     ``cp_method="pallas"`` (APG only) selects the fused lanes-layout solver
     (:func:`~forest_benchmarking_tpu.ops.lanes_apg.apg_fused`): the whole
@@ -673,7 +679,14 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
         if not trace_preserving:
             raise ValueError("cp_method='pallas' implements the CPTP "
                              "projection only (trace_preserving=True)")
-        from forest_benchmarking_tpu.ops.lanes_apg import apg_fused
+        if return_iters:
+            raise ValueError("return_iters is not available for the fused "
+                             "solver (its iteration schedule is static)")
+        from forest_benchmarking_tpu.ops.lanes_apg import (apg_fused,
+                                                           PARITY_TUNED_2Q)
+        if dim == 4:
+            # the round-3 tuned schedule/step, parity-validated for 2Q
+            return apg_fused(a, n, dim=dim, **PARITY_TUNED_2Q)
         return apg_fused(a, n, dim=dim)
     if loop_dyk_iters is not None and loop_dyk_iters < 1:
         raise ValueError(f"loop_dyk_iters must be >= 1, got {loop_dyk_iters}")
@@ -682,15 +695,21 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
             raise ValueError("loop_dyk_iters is only supported with "
                              "method='apg' (PGDB keeps the reference's exact "
                              "in-loop projections)")
+        if return_iters:
+            raise ValueError("return_iters requires method='apg'")
         kern = functools.partial(_pgdb_kernel, warm_start=warm_start)
     elif method == "apg":
         kern = functools.partial(_apg_kernel, loop_dyk_iters=loop_dyk_iters,
                                  warm_start=warm_start)
     else:
         raise ValueError(f"Unknown method '{method}'")
-    return jax.vmap(lambda nn: kern(a, nn, dim, trace_preserving,
-                                    stop_tol, maxiter, dyk_tol,
-                                    dyk_iters, cp_method, ns_iters))(n)
+    out = jax.vmap(lambda nn: kern(a, nn, dim, trace_preserving,
+                                   stop_tol, maxiter, dyk_tol,
+                                   dyk_iters, cp_method, ns_iters))(n)
+    if method == "apg":
+        est, iters = out
+        return (est, iters) if return_iters else est
+    return out
 
 
 # ======================================================================

@@ -84,6 +84,7 @@ def test_raster_a_matrix_reorders_vec(rng):
     np.testing.assert_allclose(got, want, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_apg_fused_output_exactly_tp():
     a = process_tomo_A_matrix(2)
     n, _ = synth_process_datasets(jax.random.PRNGKey(0), jnp.asarray(a), 4, 2,

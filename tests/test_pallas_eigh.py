@@ -31,6 +31,7 @@ def test_jacobi_pos_part_matches_eigh():
         assert np.max(np.abs(ours - exact)) < 1e-10
 
 
+@pytest.mark.slow
 def test_cp_project_batched_matches_eigh():
     rng = np.random.RandomState(1)
     bmats = rng.randn(8, 16, 16) + 1j * rng.randn(8, 16, 16)
@@ -41,6 +42,7 @@ def test_cp_project_batched_matches_eigh():
     assert np.max(np.abs(ours - exact)) < 1e-10
 
 
+@pytest.mark.slow
 def test_cp_project_f32_quality():
     rng = np.random.RandomState(2)
     bmats = rng.randn(8, 16, 16) + 1j * rng.randn(8, 16, 16)

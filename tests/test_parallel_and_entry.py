@@ -47,6 +47,30 @@ def test_sharded_pgdb_matches_single_device():
     assert np.allclose(np.asarray(out), expected, atol=1e-12)
 
 
+@pytest.mark.slow
+def test_sharded_fused_apg_matches_single_device():
+    """cp_method='pallas' under the mesh: shard_map-wrapped apg_fused on 8
+    devices reproduces the single-device fused solve exactly (the solve is
+    elementwise in the batch dim, so sharding must not move the numerics)."""
+    from forest_benchmarking_tpu.ops.lanes_apg import apg_fused, apg_fused_sharded
+
+    mesh = make_mesh()
+    a = jnp.asarray(process_tomo_A_matrix(2))
+    n, _ = synth_process_datasets(jax.random.PRNGKey(3), a, 4, 16, 500,
+                                  dtype=jnp.float64)
+    # short schedule: this checks mesh plumbing, not convergence
+    kw = dict(dim=4, phases=((4, 1, 1), (4, 2, 1)), init_iters=4,
+              final_iters=6)
+    expected = np.asarray(apg_fused(a, n, **kw))
+    a_r = replicate(mesh, a)
+    n_s = shard_batch(mesh, n)
+    out = apg_fused_sharded(a_r, n_s, mesh, **kw)
+    assert out.sharding.spec[0] == "batch"   # leading (batch) dim sharded
+    assert np.allclose(np.asarray(out), expected, atol=1e-12)
+    with pytest.raises(ValueError, match="divisible"):
+        apg_fused_sharded(a_r, n[:12], mesh, **kw)
+
+
 def test_graft_entry_compiles():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
@@ -57,6 +81,7 @@ def test_graft_entry_compiles():
     assert np.isfinite(float(mean_pf))
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g

@@ -159,6 +159,106 @@ def test_batched_noisy_density_matches_qvm_density_path():
     np.testing.assert_allclose(got, want, atol=1e-10)
 
 
+def test_trajectory_unraveling_matches_density_kernel():
+    """The Kraus-trajectory statevector kernel's trajectory-averaged output
+    distribution converges to the exact density-matrix kernel's distribution
+    (same circuit, same channel placement) within Monte-Carlo error."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        _sample_perms, _simulate_qv_circuit_density, _simulate_qv_circuit_traj)
+    from forest_benchmarking_tpu.ops.random_operators import haar_rand_unitary
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+
+    depth = 4
+    ks = depolarizing_kraus_map(0.08)
+    kraus = jnp.asarray(np.stack([np.kron(a, b) for a in ks for b in ks]),
+                        jnp.complex64)
+    m_ops = jnp.einsum("kba,kbc->kac", jnp.conj(kraus), kraus)
+    perms = _sample_perms(jax.random.PRNGKey(1), 1, depth)[0]
+    gates = haar_rand_unitary(jax.random.PRNGKey(2), 4,
+                              batch=(depth, depth // 2),
+                              dtype=jnp.float32).astype(jnp.complex64)
+    p_dens = np.asarray(_simulate_qv_circuit_density(perms, gates, kraus,
+                                                     depth))
+    n_traj = 20000
+    u = jax.random.uniform(jax.random.PRNGKey(3), (depth, depth // 2, n_traj),
+                           dtype=jnp.float32)
+    per_traj = np.asarray(_simulate_qv_circuit_traj(perms, gates, kraus,
+                                                    m_ops, u, depth))
+    assert per_traj.shape == (2 ** depth, n_traj)
+    # each column is a normalized distribution
+    np.testing.assert_allclose(per_traj.sum(axis=0), 1.0, atol=1e-5)
+    # the trajectory mean estimates p_dens with std ~ sqrt(p/T) < 2.5e-3
+    p_traj = per_traj.mean(axis=1)
+    assert np.max(np.abs(p_traj - p_dens)) < 4 / np.sqrt(n_traj)
+
+
+def test_pallas_traj_kernel_matches_xla_kernel_interpret():
+    """The fused Pallas trajectory kernel (interpret mode) reproduces the XLA
+    trajectory kernel trajectory-for-trajectory: same uniforms -> same branch
+    choices -> same per-trajectory distributions (up to f32 roundoff)."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        _sample_perms, _simulate_qv_circuit_traj)
+    from forest_benchmarking_tpu.ops.random_operators import haar_rand_unitary
+    from forest_benchmarking_tpu.ops.pallas_traj import traj_probs_pallas
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+
+    depth, circuits, n_traj = 7, 2, 128
+    ks = depolarizing_kraus_map(0.06)
+    kraus = jnp.asarray(np.stack([np.kron(a, b) for a in ks for b in ks]),
+                        jnp.complex64)
+    m_ops = jnp.einsum("kba,kbc->kac", jnp.conj(kraus), kraus)
+    perms = _sample_perms(jax.random.PRNGKey(1), circuits, depth)
+    gates = haar_rand_unitary(jax.random.PRNGKey(2), 4,
+                              batch=(circuits, depth, depth // 2),
+                              dtype=jnp.float32).astype(jnp.complex64)
+    u = jax.random.uniform(jax.random.PRNGKey(3),
+                           (circuits, depth, depth // 2, n_traj),
+                           dtype=jnp.float32)
+    xla = np.asarray(jax.vmap(
+        lambda p, g, uu: _simulate_qv_circuit_traj(p, g, kraus, m_ops, uu,
+                                                   depth))(perms, gates, u))
+    gates_ri = jnp.stack([jnp.real(gates), jnp.imag(gates)]).astype(jnp.float32)
+    kraus_ri = jnp.stack([jnp.real(kraus), jnp.imag(kraus)]).astype(jnp.float32)
+    pal = np.asarray(traj_probs_pallas(perms, gates_ri, kraus_ri, u, depth,
+                                       interpret=True))
+    # identical branch decisions except measure-zero boundary flips
+    col_diff = np.abs(xla - pal).max(axis=1)
+    assert (col_diff < 1e-4).mean() > 0.97
+    np.testing.assert_allclose(pal.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_trajectory_heavy_counts_match_density_path():
+    """sample_heavy_outputs_batched agrees between the exact-density and
+    trajectory noisy kernels within binomial sampling error, for both
+    1-shot-per-trajectory and shots-split-across-trajectories configs."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        sample_heavy_outputs_batched)
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+
+    ks = depolarizing_kraus_map(0.15)
+    two_q = np.stack([np.kron(a, b) for a in ks for b in ks])
+    depth, circuits, shots = 4, 40, 200
+    total = circuits * shots
+    key = jax.random.PRNGKey(9)
+    n_dens = int(sample_heavy_outputs_batched(
+        key, depth=depth, num_circuits=circuits, num_shots=shots,
+        kraus=two_q, noisy_method="density"))
+    n_traj = int(sample_heavy_outputs_batched(
+        key, depth=depth, num_circuits=circuits, num_shots=shots,
+        kraus=two_q, noisy_method="trajectory"))
+    n_traj_split = int(sample_heavy_outputs_batched(
+        key, depth=depth, num_circuits=circuits, num_shots=shots,
+        kraus=two_q, noisy_method="trajectory", num_trajectories=50))
+    # p ~ 0.7-0.8; 4-sigma binomial window on the difference
+    sigma = np.sqrt(2 * 0.25 * total)
+    assert abs(n_dens - n_traj) < 4 * sigma
+    assert abs(n_dens - n_traj_split) < 4 * sigma
+    with pytest.raises(ValueError, match="must divide"):
+        sample_heavy_outputs_batched(
+            key, depth=depth, num_circuits=circuits, num_shots=shots,
+            kraus=two_q, noisy_method="trajectory", num_trajectories=33)
+
+
 @pytest.mark.slow
 def test_batched_noisy_qv_fails_early_ideal_passes():
     """Strong depolarizing noise drives the batched heavy-output probability
@@ -209,6 +309,31 @@ def test_topology_restricted_generator_matches_ideal_distribution():
         [(i, j) for i in qubits for j in qubits if i < j])
     direct = full(None, qubits, permutations, gates)
     assert all(g.name != "SWAP" for g in direct.gates)
+
+
+def test_topology_router_through_spare_qubit():
+    """Register qubits connected only via an out-of-register node route through
+    it (regression: this raised KeyError on the spare qubit)."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        topology_restricted_program_generator)
+    from forest_benchmarking_tpu.sim.statevector import run_statevector
+
+    depth = 3
+    rng = np.random.RandomState(5)
+    permutations, gates = generate_abstract_qv_circuit(depth, rng)
+    # qubits 0 and 1 talk only through spare qubit 9
+    gen = topology_restricted_program_generator([(0, 9), (9, 1), (1, 2)])
+    routed = gen(None, [0, 1, 2], permutations, gates)
+    for g in routed.gates:
+        if len(g.qubits) == 2:
+            assert tuple(sorted(g.qubits)) in {(0, 9), (1, 9), (1, 2)}
+    # undoing the swaps returns the spare to |0>, so the distribution over
+    # [0,1,2] (with 9 as the least significant, always-0 bit) matches ideal
+    unrouted = abstract_circuit_to_circuit([0, 1, 2], permutations, gates)
+    p4 = np.abs(np.asarray(run_statevector(routed, [0, 1, 2, 9]))) ** 2
+    p_ideal = np.abs(np.asarray(run_statevector(unrouted, [0, 1, 2]))) ** 2
+    np.testing.assert_allclose(p4[0::2], p_ideal, atol=1e-10)
+    np.testing.assert_allclose(p4[1::2], 0.0, atol=1e-12)
 
 
 def test_qv_on_line_topology_with_noisy_swaps_fails_earlier():
