@@ -88,8 +88,6 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
     m_ref:  (2, K, 16) f32 (K^dag K)^T planes (shared)      [VMEM]
     out_ref: (1, 2^d, LB) f32 per-trajectory probabilities  [VMEM]
     """
-    from jax.experimental import pallas as pl  # noqa: F401
-
     d = 2 ** depth
     slots = depth // 2
     hi = jax.lax.Precision.HIGHEST

@@ -132,7 +132,10 @@ def test_pgdb_batched_cp_method_pallas_routes_to_fused():
                                   1000, dtype=jnp.float64)
     via_route = np.asarray(pgdb_process_estimate_batched(
         jnp.asarray(a), n, dim=4, method="apg", cp_method="pallas"))
-    direct = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False))
+    # the dim-4 route applies the round-3 tuned schedule/step
+    from forest_benchmarking_tpu.ops.lanes_apg import PARITY_TUNED_2Q
+    direct = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False,
+                                  **PARITY_TUNED_2Q))
     np.testing.assert_allclose(via_route, direct, atol=1e-12)
     with pytest.raises(ValueError):
         pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4,
