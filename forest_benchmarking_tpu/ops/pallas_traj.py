@@ -5,7 +5,9 @@ The XLA formulation of the trajectory kernel (quantum_volume.py
 every gate/channel/permutation step reads and writes the whole
 (circuits x 2^depth x trajectories) state, and the basis-permutation gathers
 and per-lane Kraus application lower poorly. This kernel keeps one
-(2^depth, 128-trajectory) state block VMEM-resident for the ENTIRE circuit:
+(2^depth, lane-block) state block VMEM-resident for the ENTIRE circuit
+(lane block = largest of 512/256/128 dividing the trajectory count;
+512 measured fastest at depth 8):
 
 - **Permutations as one-hot matmuls.** Pallas TPU lowers no gather; each
   layer-boundary basis permutation h becomes a (2^d, 2^d) one-hot matrix
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 
 __all__ = ["traj_probs_pallas", "supports_pallas_traj"]
 
-_LB = 128  # trajectory lane block
+_LB = 128  # minimum trajectory lane block (Mosaic lane width)
 
 
 def supports_pallas_traj(depth: int) -> bool:
@@ -78,7 +80,7 @@ def _boundary_maps(perms: jnp.ndarray, depth: int) -> jnp.ndarray:
 
 
 def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
-            n_kraus: int):
+            n_kraus: int, lb: int):
     """One (circuit, lane-block) instance: evolve (2^d, LB) trajectories.
 
     h_ref: (1, depth+1, 2^d) int32 boundary index maps      [VMEM]
@@ -117,8 +119,8 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
         otherwise coef_* is a (16, LB) per-lane plane (sampled Kraus)."""
         left = 2 ** j
         right = 2 ** (depth - j - 2)
-        pr4 = pr.reshape(left, 4, right, _LB)
-        pi4 = pi.reshape(left, 4, right, _LB)
+        pr4 = pr.reshape(left, 4, right, lb)
+        pi4 = pi.reshape(left, 4, right, lb)
         outs_r, outs_i = [], []
         for a in range(4):
             acc_r = None
@@ -128,33 +130,33 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
                     cr = coef_r[a * 4 + b]
                     ci = coef_i[a * 4 + b]
                 else:
-                    cr = coef_r[a * 4 + b].reshape(1, 1, _LB)
-                    ci = coef_i[a * 4 + b].reshape(1, 1, _LB)
+                    cr = coef_r[a * 4 + b].reshape(1, 1, lb)
+                    ci = coef_i[a * 4 + b].reshape(1, 1, lb)
                 tr = cr * pr4[:, b] - ci * pi4[:, b]
                 ti = cr * pi4[:, b] + ci * pr4[:, b]
                 acc_r = tr if acc_r is None else acc_r + tr
                 acc_i = ti if acc_i is None else acc_i + ti
             outs_r.append(acc_r)
             outs_i.append(acc_i)
-        new_r = jnp.stack(outs_r, axis=1).reshape(d, _LB)
-        new_i = jnp.stack(outs_i, axis=1).reshape(d, _LB)
+        new_r = jnp.stack(outs_r, axis=1).reshape(d, lb)
+        new_i = jnp.stack(outs_i, axis=1).reshape(d, lb)
         return new_r, new_i
 
     def channel(pr, pi, j, l):
         left = 2 ** j
         right = 2 ** (depth - j - 2)
-        pr4 = pr.reshape(left, 4, right, _LB)
-        pi4 = pi.reshape(left, 4, right, _LB)
+        pr4 = pr.reshape(left, 4, right, lb)
+        pi4 = pi.reshape(left, 4, right, lb)
         # pair-reduced density rho[a,b] = sum_{l,r} psi_a conj(psi_b)
         rho_r = []
         rho_i = []
         for a in range(4):
             for b in range(4):
                 rr = jnp.sum((pr4[:, a] * pr4[:, b]
-                              + pi4[:, a] * pi4[:, b]).reshape(-1, _LB),
+                              + pi4[:, a] * pi4[:, b]).reshape(-1, lb),
                              axis=0, keepdims=True)
                 ri = jnp.sum((pi4[:, a] * pr4[:, b]
-                              - pr4[:, a] * pi4[:, b]).reshape(-1, _LB),
+                              - pr4[:, a] * pi4[:, b]).reshape(-1, lb),
                              axis=0, keepdims=True)
                 rho_r.append(rr)
                 rho_i.append(ri)
@@ -169,11 +171,11 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
                                    preferred_element_type=f32))  # (K, LB)
         p = jnp.maximum(p, 0.0)
         p = p / jnp.sum(p, axis=0, keepdims=True)
-        u = u_ref[0, l, j].reshape(1, _LB)
+        u = u_ref[0, l, j].reshape(1, lb)
         # branch k* = number of cumulative sums strictly below u (same rule
         # as the XLA kernel); Mosaic lowers no cumsum, so unroll the K=16
         # running sum and materialize a one-hot row mask
-        run = jnp.zeros((1, _LB), f32)
+        run = jnp.zeros((1, lb), f32)
         below_rows = []
         for k in range(n_kraus):
             run = run + p[k:k + 1]
@@ -181,7 +183,7 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
         below = jnp.concatenate(below_rows, axis=0)        # (K, LB)
         idx = jnp.sum(below.astype(jnp.int32), axis=0,
                       keepdims=True)                       # (1, LB) in [0, K)
-        krange = jax.lax.broadcasted_iota(jnp.int32, (n_kraus, _LB), 0)
+        krange = jax.lax.broadcasted_iota(jnp.int32, (n_kraus, lb), 0)
         sel = (krange == jnp.minimum(idx, n_kraus - 1)).astype(f32)
         # Ksel[ab, t] = sum_k sel[k, t] K_k[ab]
         dnk = (((0,), (0,)), ((), ()))
@@ -194,9 +196,9 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
         inv = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
         return pr * inv, pi * inv
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (d, _LB), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, lb), 0)
     psi_r = jnp.where(row == 0, 1.0, 0.0).astype(f32)   # |0...0>
-    psi_i = jnp.zeros((d, _LB), f32)
+    psi_i = jnp.zeros((d, lb), f32)
 
     def layer_body(l, carry):
         pr, pi = carry
@@ -233,6 +235,9 @@ def traj_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
     t = uniforms.shape[-1]
     if t % _LB != 0:
         raise ValueError(f"trajectory count {t} must be a multiple of {_LB}")
+    # largest lane block dividing T wins: 512 measured ~8% faster than 128
+    # at depth 8 (fewer grid steps, fuller perm-matmul tiles), 256 slower
+    lb = max(b for b in (512, 256, 128) if t % b == 0)
     d = 2 ** depth
     slots = depth // 2
     n_kraus = kraus_ri.shape[1]
@@ -252,8 +257,8 @@ def traj_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
     m = jnp.stack([jnp.real(m_t), jnp.imag(m_t)]).reshape(
         2, n_kraus, 16).astype(f32)
 
-    grid = (c, t // _LB)
-    kern = functools.partial(_kernel, depth=depth, n_kraus=n_kraus)
+    grid = (c, t // lb)
+    kern = functools.partial(_kernel, depth=depth, n_kraus=n_kraus, lb=lb)
     try:
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
@@ -268,14 +273,14 @@ def traj_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, depth, slots, 2, 16), lambda i, j: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, depth, slots, _LB), lambda i, j: (i, 0, 0, j),
+            pl.BlockSpec((1, depth, slots, lb), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, n_kraus, 16), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, n_kraus, 16), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d, _LB), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((1, d, lb), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, d, t), f32),
         compiler_params=compiler_params,

@@ -158,6 +158,26 @@ def test_qv_sim_f32():
     assert 0.75 < frac < 0.92
 
 
+def test_noisy_qv_trajectory_f32():
+    """Noisy QV through the trajectory path (the fused Pallas kernel on TPU,
+    the identical-math XLA formulation on cpu): depolarizing noise pulls the
+    depth-7 heavy fraction clearly below the ideal asymptote but far above
+    the 0.5 random floor."""
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+    ks = depolarizing_kraus_map(0.02)
+    two_q = np.stack([np.kron(a, b) for a in ks for b in ks])
+    kraus_ri = jnp.asarray(np.stack([two_q.real, two_q.imag])
+                           .astype(np.float32))
+    nh = np.asarray(jax.jit(
+        sample_heavy_outputs_batched,
+        static_argnames=("depth", "num_circuits", "num_shots", "dtype",
+                         "noisy_method", "num_trajectories"))(
+            jax.random.PRNGKey(6), depth=7, num_circuits=50, num_shots=256,
+            kraus=kraus_ri, noisy_method="trajectory"))
+    frac = int(nh) / (50 * 256)
+    assert 0.55 < frac < 0.85
+
+
 def test_state_mle_f32():
     """Warm-started 1Q DIMLE at f32 (production config 1 settings)."""
     paulis = np.stack([np.array([[0, 1], [1, 0]]),
