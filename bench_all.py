@@ -248,7 +248,8 @@ def main():
         config5_quantum_volume(),
         config5_noisy_quantum_volume(),
         # QV-relevant depth: the trajectory kernel makes noisy depth 8 fast
-        config5_noisy_quantum_volume(depth=8, num_circuits=200,
+        # (400 circuits amortizes the dispatch; the kernel peaks there)
+        config5_noisy_quantum_volume(depth=8, num_circuits=400,
                                      noisy_method="trajectory"),
     ]
     lines = [json.dumps(r) for r in results]

@@ -31,9 +31,7 @@ noise per applied gate, cf. docs/performance.md round-3 notes.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
