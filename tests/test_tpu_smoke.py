@@ -158,6 +158,38 @@ def test_qv_sim_f32():
     assert 0.75 < frac < 0.92
 
 
+def test_fused_apg_sharded_f32():
+    """apg_fused under shard_map on a mesh of the available devices: on a
+    real chip this exercises the production multi-chip path with the actual
+    Pallas kernel per shard (the virtual-CPU-mesh test covers 8-way
+    sharding with the XLA-path numerics). Sharded output == unsharded."""
+    from forest_benchmarking_tpu.ops.lanes_apg import (apg_fused,
+                                                       apg_fused_sharded)
+    from forest_benchmarking_tpu.parallel import (make_mesh, shard_batch,
+                                                  replicate)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(jax.devices()[:n_dev])
+    batch = 128 * n_dev
+    n, _ = _data(jax.random.PRNGKey(8), batch=batch)
+    kw = dict(dim=4, phases=((4, 1, 1), (4, 2, 1)), init_iters=4,
+              final_iters=6)
+
+    @jax.jit
+    def direct(a_ri, nn):
+        est = apg_fused(join_complex(a_ri), nn, **kw)
+        return jnp.stack([jnp.real(est), jnp.imag(est)])
+
+    @jax.jit
+    def sharded(a_ri, nn):
+        est = apg_fused_sharded(join_complex(a_ri), nn, mesh, **kw)
+        return jnp.stack([jnp.real(est), jnp.imag(est)])
+
+    want = np.asarray(direct(A_RI, n))
+    got = np.asarray(sharded(replicate(mesh, A_RI), shard_batch(mesh, n)))
+    assert np.max(np.abs(got - want)) < 1e-5
+
+
 def test_noisy_qv_trajectory_f32():
     """Noisy QV through the trajectory path (the fused Pallas kernel on TPU,
     the identical-math XLA formulation on cpu): depolarizing noise pulls the
