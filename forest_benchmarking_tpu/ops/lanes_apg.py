@@ -354,14 +354,26 @@ PARITY_PHASES: Tuple[Tuple[int, int, int], ...] = (
 # XLA kernels; this fused solver owns the strict-parity configuration.
 
 # Round-3 tuned 2Q (dim=4) parity configuration: the same < 1e-6 f64
-# deviation vs the tight-projection converged reference optimum (measured
-# across 4 datasets at 500-8000 shots/setting) at ~74% of the default
-# schedule's Dykstra work, by (a) a 2x larger validated step (mu scale 0.5;
-# 0.4 DIVERGES — measured) which shortens every phase, and (b) trimmed
-# init/final projections. Production callers should also precompute
-# ``a_pinv`` once per A-matrix (see :func:`apg_fused`).
+# deviation vs the tight-projection converged reference optimum — measured
+# across 16 datasets (8 seeds x 2 generators) at every shot count in
+# {750, 1000, 1500, 2000, 4000, 8000} per setting (worst case 7.8e-7) — at
+# ~81% of the default schedule's Dykstra work, by (a) a 2x larger validated
+# step (mu scale 0.5; 0.4 DIVERGES — measured) which shortens every phase,
+# and (b) trimmed init/final projections. A shorter (20,6,1) tail breaks the
+# bar on isolated 750/1500-shot datasets (1.5e-6) — 24 is the measured floor
+# with margin. Production callers should also precompute ``a_pinv`` once per
+# A-matrix (see :func:`apg_fused`).
+#
+# Operating envelope: at 500 shots/setting the comparison itself bottoms
+# out — EVERY schedule (including the conservative PARITY_PHASES default,
+# which hits 1.7e-6 there) plateaus at ~1.1e-6 independent of tail length
+# or Jacobi sweeps, while the reference algorithm needs ~10^4 outer
+# iterations just to pin its own optimum to <1e-4 on such flat likelihoods
+# (measured: one 500-shot dataset moved 7.3e-5 between maxiter 3000 and
+# 10000). The <1e-6 contract applies at >=750 shots/setting;
+# docs/performance.md has the full sweep.
 PARITY_TUNED_2Q = dict(
-    phases=((10, 1, 1), (10, 2, 1), (20, 6, 1)),
+    phases=((10, 1, 1), (10, 2, 1), (24, 6, 1)),
     init_iters=6, init_sweeps=3, final_iters=12, final_sweeps=1,
     mu=1.5 / 32)
 

@@ -99,17 +99,30 @@ def test_apg_fused_output_exactly_tp():
 
 @pytest.mark.slow
 def test_apg_fused_parity_vs_tight_reference():
-    """f64 deviation of the production parity schedule vs the converged
+    """f64 deviation of the production parity configurations vs the converged
     tight-projection reference optimum is < 1e-6 (the BASELINE parity bar;
-    bench.py measures the same quantity)."""
+    bench.py measures the same quantity). Both the conservative default
+    schedule and the round-3 tuned one (PARITY_TUNED_2Q — the config
+    bench.py and the cp_method='pallas' route actually run) must hold.
+
+    The 750-shot batch (seed 1757) is a regression guard: its third dataset
+    broke 1e-6 (1.5e-6) under the earlier (20,6,1) tuned tail — the sweep
+    that set the production tail to 24 (docs/performance.md round 3)."""
+    from forest_benchmarking_tpu.ops.lanes_apg import PARITY_TUNED_2Q
     a = process_tomo_A_matrix(2)
-    n, _ = synth_process_datasets(jax.random.PRNGKey(7), jnp.asarray(a), 4, 4,
-                                  2000, dtype=jnp.float64)
-    tight = np.asarray(pgdb_process_estimate_batched(
-        jnp.asarray(a), n, dim=4, stop_tol=1e-14, maxiter=3000,
-        dyk_tol=1e-10, dyk_iters=500))
-    est = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False))
-    assert np.max(np.abs(est - tight)) < 1e-6
+    for seed, shots in ((7, 2000), (1757, 750)):
+        n, _ = synth_process_datasets(jax.random.PRNGKey(seed),
+                                      jnp.asarray(a), 4, 4, shots,
+                                      dtype=jnp.float64)
+        tight = np.asarray(pgdb_process_estimate_batched(
+            jnp.asarray(a), n, dim=4, stop_tol=1e-14, maxiter=3000,
+            dyk_tol=1e-10, dyk_iters=500))
+        est = np.asarray(apg_fused(jnp.asarray(a), n, dim=4,
+                                   use_pallas=False))
+        assert np.max(np.abs(est - tight)) < 1e-6, (seed, shots)
+        tuned = np.asarray(apg_fused(jnp.asarray(a), n, dim=4,
+                                     use_pallas=False, **PARITY_TUNED_2Q))
+        assert np.max(np.abs(tuned - tight)) < 1e-6, (seed, shots)
 
 
 @pytest.mark.slow
