@@ -8,21 +8,25 @@ The north-star target (BASELINE.json) is >= 10^4 two-qubit MLE reconstructions
 per second on one v5e chip; vs_baseline = value / 10^4.
 
 Two first-class figures are reported:
-- ``value`` (headline): warm-started APG with inexact in-loop projections —
-  statistically equivalent to the converged optimum (LLR ~ 1-3).
-- ``parity_solves_per_sec``: the fused lanes-layout Pallas solver
-  (ops/lanes_apg.py) whose f64 output deviates < 1e-6 from the reference
-  algorithm's converged optimum with tight projections
+- ``value`` (headline): the fused lanes-layout Pallas solver
+  (ops/lanes_apg.py) at its statistical-equivalence schedule
+  (``HEADLINE_TUNED_2Q``): warm-started APG whose estimate sits on the same
+  likelihood plateau as the converged reference optimum — the f64
+  likelihood-ratio statistic 2*N*deltaLL measures < 4 worst-case over the
+  500-8000 shots/setting envelope (1-sigma region for this 240-parameter
+  model: ~240), TIGHTER than the early-exit XLA warm-APG path (worst 5.15
+  on the same datasets) while ~2x its speed.
+- ``parity_solves_per_sec``: the same fused solver at its strict-parity
+  schedule (``PARITY_TUNED_2Q``), whose f64 output deviates < 1e-6 from the
+  reference algorithm's converged optimum with tight projections
   (``fused_parity_dev_f64``) — strict parity AND above the 10^4 bar.
 
-The headline solver is the accelerated projected gradient (APG / FISTA with
-function restart) warm-started from the projected linear-inversion estimate
-with inexact in-loop projections. It lands on the same likelihood plateau as
-the reference's converged PGDB: the f64 parity check reports the
-likelihood-ratio statistic 2*N*deltaLL ~ 0.6-3 (1-sigma region for this
-240-parameter model: ~240, two orders of magnitude away) and parameter
-deviation ~2e-3, an order of magnitude below shot noise. Cold-start APG and reference-faithful PGDB
-figures are reported alongside.
+``headline_sustained_solves_per_sec`` additionally reports the
+production-dispatch pattern (4 queued batch dispatches, one end-of-stream
+synchronization): per-dispatch tunnel latency (~16-38 ms) overlaps with
+execution, which is how a real acquisition pipeline would drive the chip.
+The XLA warm-APG while_loop path (the round-1/2 headline), cold-start APG,
+and reference-faithful PGDB figures are reported alongside.
 
 Timing methodology: data are pre-generated on device and the timed region is
 the solver call plus a full host fetch of its (real) outputs — on the axon TPU
@@ -49,7 +53,8 @@ sys.path.insert(0, "/root/repo")
 from forest_benchmarking_tpu.benchmarks import (
     process_tomo_A_matrix, synth_process_datasets, split_complex, join_complex)
 from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
-from forest_benchmarking_tpu.ops.lanes_apg import apg_fused
+from forest_benchmarking_tpu.ops.lanes_apg import (
+    apg_fused, PARITY_TUNED_2Q, HEADLINE_TUNED_2Q)
 
 N_QUBITS = 2
 DIM = 2 ** N_QUBITS
@@ -155,41 +160,24 @@ def _time_solver(solve, a_dev, n, chois_ri, reps=4):
     return err, min(times)
 
 
+def _time_solver_sustained(solve, a_dev, n, chois_ri, k=4, reps=3):
+    """Production dispatch pattern: queue ``k`` batch solves back-to-back,
+    synchronize (full host fetch) at the end of the stream — per-dispatch
+    tunnel latency overlaps with execution. The solver is assumed warm."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [solve(a_dev, n, chois_ri) for _ in range(k)]
+        for o in outs:
+            jax.tree.map(np.asarray, o)
+        times.append(time.perf_counter() - t0)
+    return min(times) / k
+
+
 def tpu_throughput() -> dict:
     a_dev = jnp.asarray(split_complex(
         process_tomo_A_matrix(N_QUBITS).astype(np.complex64)))
     n, chois_ri = _make_data(a_dev, jax.random.PRNGKey(0))
-
-    # Headline config: APG warm-started from the projected linear-inversion
-    # estimate, inexact in-loop Dykstra (1 inner iteration) + one final
-    # converged projection, stop_tol 1e-4 on the normalized cross-entropy.
-    # The f64 LLR statistic vs the converged optimum *shrinks* with shot count
-    # (1000/2000/8000 shots -> 3.2/1.9/1.0): the warm start tightens faster
-    # than the likelihood sharpens, so the config is safe across shot regimes.
-    # The result is statistically equivalent to the converged reference
-    # optimum: the parity subprocess below measures the log-likelihood-ratio
-    # statistic 2*N*deltaLL ~ 0.6-3 (the 1-sigma region for this 240-parameter
-    # model is ~240) and parameter deviation ~10x below shot noise.
-    err_apg, dt_apg = _time_solver(
-        _solver("apg", 25, loop_dyk_iters=1, warm_start=True, stop_tol=1e-4),
-        a_dev, n, chois_ri)
-    # iteration counts for the FLOPs accounting come from a separate untimed
-    # call: returning the extra (B,) iters array from the timed program was
-    # measured to cost ~15% on the tunnel
-    solve_iters = _solver("apg", 25, loop_dyk_iters=1, warm_start=True,
-                          stop_tol=1e-4, return_iters=True)
-    _, iters = jax.tree.map(np.asarray, solve_iters(a_dev, n, chois_ri))
-    mean_iters = float(np.asarray(iters).mean())
-    headline_flops = headline_flops_per_solve(mean_iters)
-    headline_gflops = headline_flops * BATCH / dt_apg / 1e9
-    # comparison solvers run their own optimal batch (4096): without the warm
-    # start the vmapped while_loop tail grows with batch, so larger batches
-    # make them slower per solve — timing them at 16384 would be unfair
-    # parity config: the fused lanes-layout Pallas solver (ops/lanes_apg.py).
-    # Its f64 output matches the converged tight-projection reference optimum
-    # to < 1e-6 (measured below in the parity subprocess as
-    # fused_parity_dev_f64) while clearing the 10^4 solves/s bar on-chip.
-    from forest_benchmarking_tpu.ops.lanes_apg import PARITY_TUNED_2Q
 
     # the A-matrix is fixed per experiment design: production solvers reuse
     # pinv(A), so it is precomputed (host, f64 for accuracy) and passed in
@@ -198,30 +186,68 @@ def tpu_throughput() -> dict:
     pinv_ri = jnp.asarray(np.stack([pv_host.real, pv_host.imag])
                           .astype(np.float32))
 
-    @jax.jit
-    def solve_fused(a_ri, nn, chois_ri, pv_ri):
-        a = join_complex(a_ri)
-        chois = join_complex(chois_ri)
-        est = apg_fused(a, nn, dim=DIM, a_pinv=join_complex(pv_ri),
-                        **PARITY_TUNED_2Q)
-        err = jnp.sqrt(jnp.sum(jnp.abs(est - chois) ** 2, axis=(1, 2)))
-        return err / jnp.sqrt(jnp.sum(jnp.abs(chois) ** 2, axis=(1, 2)))
-    err_fused, dt_fused = _time_solver(
-        lambda a_ri, nn, c_ri: solve_fused(a_ri, nn, c_ri, pinv_ri),
+    def make_fused(cfg):
+        @jax.jit
+        def solve_fused(a_ri, nn, chois_ri, pv_ri):
+            a = join_complex(a_ri)
+            chois = join_complex(chois_ri)
+            est = apg_fused(a, nn, dim=DIM, a_pinv=join_complex(pv_ri),
+                            **cfg)
+            err = jnp.sqrt(jnp.sum(jnp.abs(est - chois) ** 2, axis=(1, 2)))
+            return err / jnp.sqrt(jnp.sum(jnp.abs(chois) ** 2, axis=(1, 2)))
+        return lambda a_ri, nn, c_ri: solve_fused(a_ri, nn, c_ri, pinv_ri)
+
+    # Headline config: the fused solver's statistical-equivalence schedule
+    # (HEADLINE_TUNED_2Q — see its comment in ops/lanes_apg.py for the f64
+    # LLR evidence: worst 3.66 over 16 datasets, vs 5.15 for the XLA
+    # warm-APG path on the same data; the parity subprocess below re-measures
+    # both statistics at the exact production settings).
+    solve_head = make_fused(HEADLINE_TUNED_2Q)
+    err_head, dt_head = _time_solver(solve_head, a_dev, n, chois_ri)
+    dt_head_sustained = _time_solver_sustained(solve_head, a_dev, n, chois_ri)
+    head_flops = fused_apg_flops_per_solve(**{
+        k: v for k, v in HEADLINE_TUNED_2Q.items() if k != "mu"})
+    head_gflops = head_flops * BATCH / dt_head / 1e9
+
+    # The XLA warm-APG while_loop path (the round-1/2 headline): per-problem
+    # early exit from the projected linear-inversion warm start. Kept as the
+    # dynamic-shape comparison point; its per-problem iteration counts are
+    # MEASURED via an untimed return_iters call (returning the extra (B,)
+    # array from the timed program costs ~15% on the tunnel).
+    err_apg, dt_apg = _time_solver(
+        _solver("apg", 25, loop_dyk_iters=1, warm_start=True, stop_tol=1e-4),
         a_dev, n, chois_ri)
+    solve_iters = _solver("apg", 25, loop_dyk_iters=1, warm_start=True,
+                          stop_tol=1e-4, return_iters=True)
+    _, iters = jax.tree.map(np.asarray, solve_iters(a_dev, n, chois_ri))
+    mean_iters = float(np.asarray(iters).mean())
+    xla_flops = headline_flops_per_solve(mean_iters)
+
+    # parity config: the same fused solver at the strict-parity schedule.
+    # Its f64 output matches the converged tight-projection reference optimum
+    # to < 1e-6 (measured below in the parity subprocess as
+    # fused_parity_dev_f64) while clearing the 10^4 solves/s bar on-chip.
+    solve_par = make_fused(PARITY_TUNED_2Q)
+    err_fused, dt_fused = _time_solver(solve_par, a_dev, n, chois_ri)
     fused_flops = fused_apg_flops_per_solve(**{
         k: v for k, v in PARITY_TUNED_2Q.items() if k != "mu"})
     fused_gflops = fused_flops * BATCH / dt_fused / 1e9
+    # comparison solvers run their own optimal batch (4096): without the warm
+    # start the vmapped while_loop tail grows with batch, so larger batches
+    # make them slower per solve — timing them at 16384 would be unfair
     sub = 4096
     n4, c4 = n[:sub], chois_ri[:, :sub]
     err_cold, dt_cold = _time_solver(_solver("apg", 25, loop_dyk_iters=2),
                                      a_dev, n4, c4)
     err_pgdb, dt_pgdb = _time_solver(_solver("pgdb", 60), a_dev, n4, c4)
     return {
-        "solves_per_sec": BATCH / dt_apg,
-        "headline_mean_iters": mean_iters,
-        "headline_flops_per_solve": headline_flops,
-        "headline_achieved_gflops": headline_gflops,
+        "solves_per_sec": BATCH / dt_head,
+        "sustained_solves_per_sec": BATCH / dt_head_sustained,
+        "headline_flops_per_solve": head_flops,
+        "headline_achieved_gflops": head_gflops,
+        "xla_warm_apg_solves_per_sec": BATCH / dt_apg,
+        "xla_warm_apg_mean_iters": mean_iters,
+        "xla_warm_apg_flops_per_solve": xla_flops,
         "parity_solves_per_sec": BATCH / dt_fused,
         "parity_flops_per_solve": fused_flops,
         "parity_achieved_gflops": fused_gflops,
@@ -230,8 +256,9 @@ def tpu_throughput() -> dict:
         "apg_cold_solves_per_sec": sub / dt_cold,
         "pgdb_solves_per_sec": sub / dt_pgdb,
         "batch": BATCH,
-        "sec_per_batch": dt_apg,
-        "mean_rel_frob_err": float(err_apg.mean()),
+        "sec_per_batch": dt_head,
+        "mean_rel_frob_err": float(err_head.mean()),
+        "mean_rel_frob_err_xla_warm": float(err_apg.mean()),
         "mean_rel_frob_err_cold": float(err_cold.mean()),
         "mean_rel_frob_err_pgdb": float(err_pgdb.mean()),
     }
@@ -264,13 +291,14 @@ conv = np.asarray(pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4,
                                                 stop_tol=1e-12, maxiter=3000,
                                                 dyk_iters=200))
 apg_dev = float(np.max(np.abs(apg - conv)))
-# headline config (warm start + inexact prox + stop_tol 1e-4), at its EXACT
-# production settings: parameter deviation on the flat optimum plateau, plus
-# the likelihood-ratio statistic 2*N*deltaLL in shot units (n is normalized
-# by the grand total N = shots * n_setting_pairs, so the statistic rescales
-# the normalized cross-entropy excess back to nats). For this 240-parameter
-# model the 1-sigma region is 2*deltaLL ~ 240; values < 1 mean the two
-# estimates are statistically indistinguishable.
+# the XLA warm-APG config (warm start + inexact prox + stop_tol 1e-4) and
+# the fused HEADLINE config, at their EXACT production settings: parameter
+# deviation on the flat optimum plateau, plus the likelihood-ratio statistic
+# 2*N*deltaLL in shot units (n is normalized by the grand total
+# N = shots * n_setting_pairs, so the statistic rescales the normalized
+# cross-entropy excess back to nats). For this 240-parameter model the
+# 1-sigma region is 2*deltaLL ~ 240; values < 1 mean the two estimates are
+# statistically indistinguishable.
 warm = np.asarray(pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4,
                                                 stop_tol=1e-4, maxiter=25,
                                                 dyk_tol=1e-4, dyk_iters=20,
@@ -285,6 +313,11 @@ def cost(est_b):
 grand_total = 1000 * (a.shape[0] // 2)   # shots per setting * setting pairs
 warm_dev = float(np.max(np.abs(warm - conv)))
 warm_llr = float(np.max(cost(warm) - cost(conv)) * 2 * grand_total)
+from forest_benchmarking_tpu.ops.lanes_apg import apg_fused, HEADLINE_TUNED_2Q
+head = np.asarray(apg_fused(jnp.asarray(a), n, dim=4, use_pallas=False,
+                            **HEADLINE_TUNED_2Q))
+head_dev = float(np.max(np.abs(head - conv)))
+head_llr = float(np.max(cost(head) - cost(conv)) * 2 * grand_total)
 # fused-solver parity (the parity_solves_per_sec config, exact production
 # settings): f64 deviation vs the reference algorithm converged with TIGHT
 # projections (dyk_tol 1e-10 — the mathematically well-defined CPTP-MLE;
@@ -303,6 +336,8 @@ print(json.dumps({"max_deviation_vs_oracle": float(dev),
                   "apg_vs_converged_pgdb": apg_dev,
                   "warm_apg_vs_converged_pgdb": warm_dev,
                   "warm_apg_llr_statistic": warm_llr,
+                  "headline_vs_converged_pgdb": head_dev,
+                  "headline_llr_statistic": head_llr,
                   "fused_parity_dev": fused_dev}))
 """
 
@@ -329,10 +364,18 @@ def main():
         "value": round(perf["solves_per_sec"], 2),
         "unit": "solves/sec",
         "vs_baseline": round(perf["solves_per_sec"] / TARGET_SOLVES_PER_SEC, 4),
-        "headline_mean_iters": round(perf["headline_mean_iters"], 2),
+        "sustained_solves_per_sec": round(perf["sustained_solves_per_sec"], 2),
+        "headline_llr_statistic_f64": parity.get("headline_llr_statistic"),
+        "headline_vs_converged_pgdb_f64":
+            parity.get("headline_vs_converged_pgdb"),
         "headline_flops_per_solve": round(perf["headline_flops_per_solve"]),
         "headline_achieved_gflops": round(
             perf["headline_achieved_gflops"], 1),
+        "xla_warm_apg_solves_per_sec": round(
+            perf["xla_warm_apg_solves_per_sec"], 2),
+        "xla_warm_apg_mean_iters": round(perf["xla_warm_apg_mean_iters"], 2),
+        "xla_warm_apg_flops_per_solve": round(
+            perf["xla_warm_apg_flops_per_solve"]),
         "parity_solves_per_sec": round(perf["parity_solves_per_sec"], 2),
         "parity_vs_baseline": round(
             perf["parity_solves_per_sec"] / TARGET_SOLVES_PER_SEC, 4),
@@ -347,6 +390,8 @@ def main():
         "apg_cold_solves_per_sec": round(perf["apg_cold_solves_per_sec"], 2),
         "pgdb_solves_per_sec": round(perf["pgdb_solves_per_sec"], 2),
         "mean_rel_frob_err_f32": round(perf["mean_rel_frob_err"], 5),
+        "mean_rel_frob_err_xla_warm_f32":
+            round(perf["mean_rel_frob_err_xla_warm"], 5),
         "mean_rel_frob_err_cold_f32": round(perf["mean_rel_frob_err_cold"], 5),
         "mean_rel_frob_err_pgdb_f32": round(perf["mean_rel_frob_err_pgdb"], 5),
         "max_deviation_vs_oracle_f64": parity.get("max_deviation_vs_oracle"),

@@ -153,3 +153,52 @@ def test_pgdb_batched_cp_method_pallas_routes_to_fused():
     with pytest.raises(ValueError):
         pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4,
                                       method="pgdb", cp_method="pallas")
+    # fused_schedule='headline' routes to the statistical-equivalence config
+    from forest_benchmarking_tpu.ops.lanes_apg import HEADLINE_TUNED_2Q
+    via_head = np.asarray(pgdb_process_estimate_batched(
+        jnp.asarray(a), n, dim=4, method="apg", cp_method="pallas",
+        fused_schedule="headline"))
+    direct_head = np.asarray(apg_fused(jnp.asarray(a), n, dim=4,
+                                       use_pallas=False, **HEADLINE_TUNED_2Q))
+    np.testing.assert_allclose(via_head, direct_head, atol=1e-12)
+    with pytest.raises(ValueError):
+        pgdb_process_estimate_batched(jnp.asarray(a), n, dim=4, method="apg",
+                                      cp_method="pallas",
+                                      fused_schedule="nope")
+
+
+@pytest.mark.slow
+def test_apg_fused_headline_statistical_equivalence():
+    """HEADLINE_TUNED_2Q lands on the converged optimum's likelihood plateau:
+    the f64 likelihood-ratio statistic 2*N*deltaLL vs the converged reference
+    optimum stays far inside the 1-sigma region (~240 for this 240-parameter
+    model), and at or below the XLA warm-APG headline config's statistic on
+    the same data (the round-3 scan measured worst 3.66 vs 5.15 over 16
+    datasets; docs/performance.md)."""
+    from forest_benchmarking_tpu.ops.lanes_apg import HEADLINE_TUNED_2Q
+
+    a = process_tomo_A_matrix(2)
+    aj = jnp.asarray(a)
+    for seed, shots in ((23 + 1000, 1000), (1007 + 500, 500)):
+        n, _ = synth_process_datasets(jax.random.PRNGKey(seed), aj, 4, 4,
+                                      shots, dtype=jnp.float64)
+        conv = np.asarray(pgdb_process_estimate_batched(
+            aj, n, dim=4, stop_tol=1e-12, maxiter=3000, dyk_iters=200))
+        est = np.asarray(apg_fused(aj, n, dim=4, use_pallas=False,
+                                   **HEADLINE_TUNED_2Q))
+        warm = np.asarray(pgdb_process_estimate_batched(
+            aj, n, dim=4, stop_tol=1e-4, maxiter=25, dyk_tol=1e-4,
+            dyk_iters=20, method="apg", warm_start=True, loop_dyk_iters=1))
+
+        def cost(est_b):
+            v = np.stack([np.asarray(vec(jnp.asarray(est_b[i])))[:, 0]
+                          for i in range(est_b.shape[0])])
+            p = np.maximum((v @ a.T).real, 1e-12)
+            return -(np.asarray(n) * np.log(p)).sum(axis=1)
+
+        gt = shots * (a.shape[0] // 2)
+        c_conv = cost(conv)
+        llr_fused = float(np.max(cost(est) - c_conv) * 2 * gt)
+        llr_warm = float(np.max(cost(warm) - c_conv) * 2 * gt)
+        assert llr_fused < 20, (seed, shots, llr_fused)
+        assert llr_fused < llr_warm + 1.0, (seed, shots, llr_fused, llr_warm)

@@ -75,16 +75,16 @@ def test_apg_solver_f32():
 
 
 def test_fused_apg_solver_f32():
-    """The fused lanes-layout solver (tiny schedule) at f32: physical output
-    at the shot-noise floor. The full parity schedule is exercised by
-    bench.py; this covers kernel + dtypes quickly."""
+    """The fused lanes-layout solver (production headline schedule) at f32:
+    physical output at the shot-noise floor. The full parity schedule is
+    exercised by bench.py; this covers kernel + dtypes quickly."""
+    from forest_benchmarking_tpu.ops.lanes_apg import HEADLINE_TUNED_2Q
     n, c = _data(jax.random.PRNGKey(1))
 
     @jax.jit
     def solve(a_ri, n, c_ri):
         a = join_complex(a_ri)
-        est = apg_fused(a, n, dim=4, phases=((8, 1, 1),), init_iters=4,
-                        init_sweeps=3, final_iters=4, final_sweeps=1)
+        est = apg_fused(a, n, dim=4, **HEADLINE_TUNED_2Q)
         return _rel_err(est, join_complex(c_ri)), _tp_viol(est)
 
     rel, tp = (np.asarray(x) for x in solve(A_RI, n, c))
