@@ -123,10 +123,15 @@ def _cols_perm(a, order):
 
 
 def _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, sweeps):
-    """``sweeps`` cyclic-Jacobi sweeps on (n, n, B) planes, rotating A and V
-    jointly. All movement is static slices + concatenate (Pallas TPU lowers
-    neither gather nor scatter); rounds run in pair layout with composed
-    transition permutations (see :func:`_sweep_schedule`).
+    """``sweeps`` cyclic-Jacobi sweeps on (n, n, *batch) planes, rotating A
+    and V jointly. All movement is static slices + concatenate (Pallas TPU
+    lowers neither gather nor scatter); rounds run in pair layout with
+    composed transition permutations (see :func:`_sweep_schedule`).
+
+    The batch may have any rank: with the classic lanes layout it is a
+    single (B,) axis; with the vreg layout (``apg_fused(sublanes=8)``) it
+    is (B/128, 128) so each matrix entry occupies whole (8, 128) vregs and
+    every pair slice/permutation moves untiled major axes only.
 
     ``sweeps=0`` is a no-op (used by the sweep-free warm CP projection,
     which reuses the carried eigenbasis verbatim).
@@ -167,30 +172,48 @@ def _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, sweeps):
             ebrN, ebiN = ebar_r[:, None], ebar_i[:, None]
 
             def rotate_cols(x_r, x_i):
-                xp_r = x_r.reshape(n, npairs, 2, -1)
-                xp_i = x_i.reshape(n, npairs, 2, -1)
+                bsh = x_r.shape[2:]
+                xp_r = x_r.reshape(n, npairs, 2, *bsh)
+                xp_i = x_i.reshape(n, npairs, 2, *bsh)
                 pr_, pi_ = xp_r[:, :, 0], xp_i[:, :, 0]
                 qr_, qi_ = xp_r[:, :, 1], xp_i[:, :, 1]
                 tq = cmul(ebar_r, ebar_i, qr_, qi_)
                 new_p = (c * pr_ - s * tq[0], c * pi_ - s * tq[1])
                 tp = cmul(e_r, e_i, pr_, pi_)
                 new_q = (s * tp[0] + c * qr_, s * tp[1] + c * qi_)
-                out_r = jnp.stack([new_p[0], new_q[0]], axis=2).reshape(n, n, -1)
-                out_i = jnp.stack([new_p[1], new_q[1]], axis=2).reshape(n, n, -1)
+                out_r = jnp.stack([new_p[0], new_q[0]],
+                                  axis=2).reshape(n, n, *bsh)
+                out_i = jnp.stack([new_p[1], new_q[1]],
+                                  axis=2).reshape(n, n, *bsh)
                 return out_r, out_i
 
             a_r, a_i = rotate_cols(a_r, a_i)
 
-            ar_p = a_r.reshape(npairs, 2, n, -1)
-            ai_p = a_i.reshape(npairs, 2, n, -1)
+            bsh = a_r.shape[2:]
+            ar_p = a_r.reshape(npairs, 2, n, *bsh)
+            ai_p = a_i.reshape(npairs, 2, n, *bsh)
             pr_, pi_ = ar_p[:, 0], ai_p[:, 0]
             qr_, qi_ = ar_p[:, 1], ai_p[:, 1]
-            tq = cmul(erN, eiN, qr_, qi_)
-            new_pr, new_pi = cN * pr_ - sN * tq[0], cN * pi_ - sN * tq[1]
-            tp = cmul(ebrN, ebiN, pr_, pi_)
-            new_qr, new_qi = sN * tp[0] + cN * qr_, sN * tp[1] + cN * qi_
-            a_r = jnp.stack([new_pr, new_qr], axis=1).reshape(n, n, -1)
-            a_i = jnp.stack([new_pi, new_qi], axis=1).reshape(n, n, -1)
+            if len(bsh) > 1:
+                # Mosaic-safe row rotation: transpose the pair axis inward
+                # so the (npairs, *batch) coefficients broadcast over the
+                # LEADING column axis only (expanding the interior size-1
+                # dim of c[:, None] is the Mosaic-crash pattern)
+                prt, pit = (jnp.swapaxes(x, 0, 1) for x in (pr_, pi_))
+                qrt, qit = (jnp.swapaxes(x, 0, 1) for x in (qr_, qi_))
+                tq = cmul(e_r, e_i, qrt, qit)
+                new_pr = jnp.swapaxes(c * prt - s * tq[0], 0, 1)
+                new_pi = jnp.swapaxes(c * pit - s * tq[1], 0, 1)
+                tp = cmul(ebar_r, ebar_i, prt, pit)
+                new_qr = jnp.swapaxes(s * tp[0] + c * qrt, 0, 1)
+                new_qi = jnp.swapaxes(s * tp[1] + c * qit, 0, 1)
+            else:
+                tq = cmul(erN, eiN, qr_, qi_)
+                new_pr, new_pi = cN * pr_ - sN * tq[0], cN * pi_ - sN * tq[1]
+                tp = cmul(ebrN, ebiN, pr_, pi_)
+                new_qr, new_qi = sN * tp[0] + cN * qr_, sN * tp[1] + cN * qi_
+            a_r = jnp.stack([new_pr, new_qr], axis=1).reshape(n, n, *bsh)
+            a_i = jnp.stack([new_pi, new_qi], axis=1).reshape(n, n, *bsh)
 
             v_r, v_i = rotate_cols(v_r, v_i)
 
@@ -209,9 +232,25 @@ def _sweep(a_r, a_i, v_r, v_i, eps, rounds, n):
 
 
 def _cmm(ar, ai, br, bi, n):
-    """Per-problem complex matmul on (n, n, B) planes: C = A @ B.
+    """Per-problem complex matmul on (n, n, *batch) planes: C = A @ B.
 
-    Unrolled over the contraction index as broadcast FMAs (VPU-friendly)."""
+    Unrolled over the contraction index as broadcast FMAs (VPU-friendly).
+    Multi-rank batches take the row-wise form: expanding interior size-1
+    major dims (the ``(n, 1, *b) * (1, n, *b)`` outer-product broadcast)
+    is the Mosaic-crash pattern, so each output row i is accumulated as
+    sum_k A[i, k] * B[k] with only leading-dim broadcasts."""
+    if len(ar.shape) > 3:
+        rows_r, rows_i = [], []
+        for i in range(n):
+            rr = ar[i, 0] * br[0] - ai[i, 0] * bi[0]
+            ri = ar[i, 0] * bi[0] + ai[i, 0] * br[0]
+            for k in range(1, n):
+                akr, aki = ar[i, k], ai[i, k]       # (*batch,)
+                rr = rr + akr * br[k] - aki * bi[k]
+                ri = ri + akr * bi[k] + aki * br[k]
+            rows_r.append(rr)
+            rows_i.append(ri)
+        return jnp.stack(rows_r, axis=0), jnp.stack(rows_i, axis=0)
     cr = ar[:, 0:1] * br[0:1] - ai[:, 0:1] * bi[0:1]
     ci = ar[:, 0:1] * bi[0:1] + ai[:, 0:1] * br[0:1]
     for k in range(1, n):
@@ -223,7 +262,22 @@ def _cmm(ar, ai, br, bi, n):
 
 
 def _cmm_hconj_left(vr, vi, br, bi, n):
-    """C = V^dag @ B on (n, n, B) planes: C[i,j] = sum_k conj(V[k,i]) B[k,j]."""
+    """C = V^dag @ B on (n, n, *batch) planes: C[i,j] = sum_k conj(V[k,i])
+    B[k,j]. Multi-rank batches use the row-wise Mosaic-safe form (see
+    :func:`_cmm`)."""
+    if len(vr.shape) > 3:
+        rows_r, rows_i = [], []
+        for i in range(n):
+            rr = vr[0, i] * br[0] + vi[0, i] * bi[0]
+            ri = vr[0, i] * bi[0] - vi[0, i] * br[0]
+            for k in range(1, n):
+                vkr, vki = vr[k, i], vi[k, i]       # (*batch,)
+                rr = rr + vkr * br[k] + vki * bi[k]
+                ri = ri + vkr * bi[k] - vki * br[k]
+            rows_r.append(rr)
+            rows_i.append(ri)
+        return jnp.stack(rows_r, axis=0), jnp.stack(rows_i, axis=0)
+
     def row(a, k):
         return jnp.swapaxes(a[k:k + 1], 0, 1)      # (n, 1, B): V[k, i] over i
     cr = row(vr, 0) * br[0:1] + row(vi, 0) * bi[0:1]
@@ -250,35 +304,115 @@ def _warm_cp(hr, hi, vr, vi, sweeps, rounds, n, eps):
     mr, mi = _cmm_hconj_left(vr, vi, tr, ti, n)
     ar, ai, wr, wi = _multi_sweep(mr, mi, vr, vi, eps, rounds, n, sweeps)
     # eigenvalues on the diagonal; clip and reconstruct pos = W w+ W^dag
+    if len(hr.shape) > 3:
+        # Mosaic-safe row-wise form (no interior size-1 broadcasts): row i
+        # accumulates sum_k (W[i,k] w_k) conj(W[j,k]) over the k order of
+        # the classic path — identical floating-point sequence per element
+        ws = [jnp.maximum(ar[k, k], 0.0) for k in range(n)]   # (*batch,)
+        rows_r, rows_i = [], []
+        for i in range(n):
+            rr = ri = None
+            for k in range(n):
+                xr_ = wr[i, k] * ws[k]
+                xi_ = wi[i, k] * ws[k]
+                tr_ = xr_ * wr[:, k] + xi_ * wi[:, k]
+                ti_ = -xr_ * wi[:, k] + xi_ * wr[:, k]
+                rr = tr_ if rr is None else rr + tr_
+                ri = ti_ if ri is None else ri + ti_
+            rows_r.append(rr)
+            rows_i.append(ri)
+        return (jnp.stack(rows_r, axis=0), jnp.stack(rows_i, axis=0),
+                wr, wi)
     pos_r = jnp.zeros_like(hr)
     pos_i = jnp.zeros_like(hi)
     for k in range(n):
-        w = jnp.maximum(ar[k, k], 0.0)             # (B,)
-        wkr, wki = wr[:, k], wi[:, k]               # (n, B)
-        xr_ = (wkr * w)[:, None, :]
-        xi_ = (wki * w)[:, None, :]
-        yr_ = wkr[None, :, :]
-        yi_ = -wki[None, :, :]
+        w = jnp.maximum(ar[k, k], 0.0)             # (*batch,)
+        wkr, wki = wr[:, k], wi[:, k]               # (n, *batch)
+        xr_ = (wkr * w)[:, None]
+        xi_ = (wki * w)[:, None]
+        yr_ = wkr[None]
+        yi_ = -wki[None]
         pos_r = pos_r + xr_ * yr_ - xi_ * yi_
         pos_i = pos_i + xr_ * yi_ + xi_ * yr_
     return pos_r, pos_i, wr, wi
 
 
+def _eye_planes(n, bsh, dtype):
+    """Identity planes (n, n, *batch) built by concatenating full-minor
+    zero/one tiles — Mosaic-safe for multi-rank batches (a broadcast of an
+    (n, n, 1, 1) constant over the tiled minor dims crashes the TPU
+    compiler; see docs/performance.md round-3 notes)."""
+    if len(bsh) <= 1:
+        return jnp.broadcast_to(
+            jnp.eye(n, dtype=dtype).reshape((n, n) + (1,) * len(bsh)),
+            (n, n) + tuple(bsh))
+    z = jnp.zeros((1, 1) + tuple(bsh), dtype)
+    o = jnp.ones((1, 1) + tuple(bsh), dtype)
+    rows = [jnp.concatenate([o if t == k else z for t in range(n)], axis=1)
+            for k in range(n)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _proj_tp_safe(xr, xi, dim):
+    """:func:`_proj_tp` without interior/minor-mixed broadcasts: the partial
+    trace is summed from entry slices and the correction kron(D, I) is
+    assembled by stacking rows — every op is a slice/concat/elementwise on
+    full-minor tiles, which Mosaic lowers for any batch rank."""
+    n = dim * dim
+    bsh = xr.shape[2:]
+    z1 = jnp.zeros((1, dim) + tuple(bsh), xr.dtype)
+
+    def pt(x):
+        rows = []
+        for i in range(dim):
+            cols = []
+            for j in range(dim):
+                acc = x[i * dim:i * dim + 1, j * dim:j * dim + 1]
+                for k in range(1, dim):
+                    acc = acc + x[i * dim + k:i * dim + k + 1,
+                                  j * dim + k:j * dim + k + 1]
+                cols.append(acc)
+            rows.append(jnp.concatenate(cols, axis=1))
+        return jnp.concatenate(rows, axis=0)            # (dim, dim, *batch)
+
+    eyed = _eye_planes(dim, bsh, xr.dtype)
+    dr = (pt(xr) - eyed) / dim
+    di = pt(xi) / dim
+
+    def kron_eye(d):
+        # row p = (i, k) of kron(d, I): d[i, j] at columns j*dim + k
+        rows = []
+        for i in range(dim):
+            dri = d[i:i + 1]                             # (1, dim, *batch)
+            for k in range(dim):
+                blk = jnp.stack([dri if t == k else z1
+                                 for t in range(dim)], axis=2)
+                rows.append(blk.reshape(1, n, *bsh))
+        return jnp.concatenate(rows, axis=0)             # (n, n, *batch)
+
+    return xr - kron_eye(dr), xi - kron_eye(di)
+
+
 def _proj_tp(xr, xi, dim):
-    """Trace-preserving projection on (d2, d2, B) planes (eq. 12 of [PGD]):
-    X - kron(Tr_out(X) - I, I) / dim, with Tr_out the keep=[0] partial trace."""
-    b = xr.shape[-1]
-    x5r = xr.reshape(dim, dim, dim, dim, b)
-    x5i = xi.reshape(dim, dim, dim, dim, b)
-    eye = jnp.eye(dim, dtype=xr.dtype)[None, :, None, :, None]
-    pt_r = jnp.sum(x5r * eye, axis=(1, 3))          # (dim, dim, B)
+    """Trace-preserving projection on (d2, d2, *batch) planes (eq. 12 of
+    [PGD]): X - kron(Tr_out(X) - I, I) / dim, Tr_out the keep=[0] partial
+    trace."""
+    if len(xr.shape) > 3:
+        return _proj_tp_safe(xr, xi, dim)
+    bsh = xr.shape[2:]
+    ones = (1,) * len(bsh)
+    x5r = xr.reshape(dim, dim, dim, dim, *bsh)
+    x5i = xi.reshape(dim, dim, dim, dim, *bsh)
+    eye = jnp.eye(dim, dtype=xr.dtype).reshape(1, dim, 1, dim, *ones)
+    pt_r = jnp.sum(x5r * eye, axis=(1, 3))          # (dim, dim, *batch)
     pt_i = jnp.sum(x5i * eye, axis=(1, 3))
-    dr = (pt_r - jnp.eye(dim, dtype=xr.dtype)[:, :, None]) / dim
+    eye2 = jnp.eye(dim, dtype=xr.dtype).reshape(dim, dim, *ones)
+    dr = (pt_r - eye2) / dim
     di = pt_i / dim
-    cr = dr[:, None, :, None, :] * eye
-    ci = di[:, None, :, None, :] * eye
-    return (x5r - cr).reshape(dim * dim, dim * dim, b), \
-        (x5i - ci).reshape(dim * dim, dim * dim, b)
+    cr = dr[:, None, :, None] * eye
+    ci = di[:, None, :, None] * eye
+    return (x5r - cr).reshape(dim * dim, dim * dim, *bsh), \
+        (x5i - ci).reshape(dim * dim, dim * dim, *bsh)
 
 
 def _dykstra(zr, zi, vr, vi, iters, sweeps, dim, rounds, eps,
@@ -426,7 +560,8 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
     n = dim * dim
     rounds = _round_robin_pairs(n)
     rdtype = ar.dtype
-    b = n_mat.shape[-1]
+    batch = n_mat.shape[1:]          # any rank; (B,) classic, (S, 128) vreg
+    n_flat = n_mat.reshape(n_mat.shape[0], -1)       # (R, flatB)
     eps_rot = jnp.asarray(1e-30 if rdtype == jnp.float64 else 1e-18, rdtype)
     eps_p = jnp.asarray(1e-6, rdtype)
     if mu is None:
@@ -434,34 +569,34 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
     inv_mu = jnp.asarray(1.0 / mu, rdtype)
 
     def prob(xr, xi):
-        """p = Re(A vec(X)) >= eps, shape (R, B)."""
-        vrr = xr.reshape(n * n, b)
-        vii = xi.reshape(n * n, b)
+        """p = Re(A vec(X)) >= eps, shape (R, flatB)."""
+        vrr = xr.reshape(n * n, -1)
+        vii = xi.reshape(n * n, -1)
         p = jnp.dot(ar, vrr, preferred_element_type=rdtype) - \
             jnp.dot(ai, vii, preferred_element_type=rdtype)
         return jnp.maximum(p, eps_p)
 
     def cost(xr, xi):
         p = prob(xr, xi)
-        return -jnp.sum(n_mat * jnp.log(p), axis=0, keepdims=True)  # (1, B)
+        return -jnp.sum(n_flat * jnp.log(p), axis=0, keepdims=True)  # (1, fB)
 
     def grad(xr, xi):
-        eta = n_mat / prob(xr, xi)
+        eta = n_flat / prob(xr, xi)
         # A^T eta without materializing A^T: contract over the row axis
         tdot = lambda m: jax.lax.dot_general(
             m, eta, (((0,), (0,)), ((), ())), preferred_element_type=rdtype)
         gr = -tdot(ar)
         gi = tdot(ai)
-        return gr.reshape(n, n, b), gi.reshape(n, n, b)
+        return gr.reshape(n, n, *batch), gi.reshape(n, n, *batch)
 
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=rdtype)[:, :, None], (n, n, b))
+    eye = _eye_planes(n, batch, rdtype)
     v_r, v_i = eye, jnp.zeros_like(eye)
 
     # warm start: Dykstra-project rho0 (first CP projection runs cold)
     est_r, est_i, v_r, v_i = _dykstra(rho0_r, rho0_i, v_r, v_i, init_iters,
                                       init_sweeps, dim, rounds, eps_rot)
     prev_r, prev_i = est_r, est_i
-    t = jnp.ones((1, b), rdtype)
+    t = jnp.ones((1, int(np.prod(batch))), rdtype)
     old_cost = cost(est_r, est_i)
 
     for phase in phases:
@@ -474,7 +609,10 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
         def body(_, carry, ld=ld, sweeps=sweeps, srest=srest):
             est_r, est_i, prev_r, prev_i, v_r, v_i, t, old_cost = carry
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            beta = ((t - 1) / t_next)[None]          # (1, 1, B)
+            # multi-rank batches broadcast beta as a (*batch,) suffix —
+            # expanding interior size-1 majors is the Mosaic-crash pattern
+            beta = ((t - 1) / t_next).reshape(
+                (1, 1, *batch) if len(batch) == 1 else batch)
             y_r = est_r + beta * (est_r - prev_r)
             y_i = est_i + beta * (est_i - prev_i)
             g_r, g_i = grad(y_r, y_i)
@@ -514,14 +652,16 @@ def _have_pallas() -> bool:
 
 @functools.partial(jax.jit, static_argnames=(
     "dim", "phases", "init_iters", "init_sweeps", "final_iters",
-    "final_sweeps", "final_sweeps_rest", "block", "use_pallas", "mu"))
+    "final_sweeps", "final_sweeps_rest", "block", "use_pallas", "mu",
+    "sublanes"))
 def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
               phases: Tuple[Tuple[int, int, int], ...] = PARITY_PHASES,
               init_iters: int = 8, init_sweeps: int = 3,
               final_iters: int = 20, final_sweeps: int = 1,
               final_sweeps_rest: int = None,
               block: int = 128, use_pallas: bool = True,
-              mu: float = None, a_pinv: jnp.ndarray = None) -> jnp.ndarray:
+              mu: float = None, a_pinv: jnp.ndarray = None,
+              sublanes: int = 1) -> jnp.ndarray:
     """Fused-APG batched PGDB MLE: (R, d4) A-matrix (vec order, as used by
     ``pgdb_process_estimate_batched``), (B, R) counts -> (B, d2, d2) Chois.
 
@@ -534,6 +674,17 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
     A-matrix is fixed per experiment design, so production callers solving
     many batches should compute the pseudo-inverse once — the in-call SVD
     is a measurable fraction of a batch solve (docs/performance.md).
+
+    ``sublanes`` selects the kernel's batch layout. ``1`` (classic lanes):
+    planes are (d2, d2, block) with the batch in the lane axis only — matrix
+    rows/cols land in the sublane axis, so every Jacobi pair slice and
+    permutation is a sublane-granularity shuffle. ``8`` (vreg layout): each
+    grid step takes ``sublanes * 128`` problems as a (d2, d2, sublanes, 128)
+    block whose trailing (8, 128) axes fill whole TPU vregs — every matrix
+    entry is vreg-aligned, so the sweep's pair addressing and the composed
+    transition permutations move untiled major axes (near-free) instead of
+    shuffling sublanes. Identical numerics (same op sequence per problem);
+    TPU-measured speedups in docs/performance.md.
     """
     d2 = dim * dim
     rdtype = jnp.real(a).dtype
@@ -562,13 +713,75 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
               final_sweeps=final_sweeps, final_sweeps_rest=final_sweeps_rest,
               mu=mu)
 
-    # Mosaic requires the lane (batch-block) dimension to be a multiple of
-    # 128; anything else falls back to the identical-numerics XLA path
-    if (use_pallas and _have_pallas() and block % 128 == 0
-            and b % block == 0 and b >= block):
+    try:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
+        def _compiler_params():
+            try:
+                return pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024)
+            except TypeError:  # older jax spelling
+                return pltpu.TPUCompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024)
+    except Exception:  # noqa: BLE001
+        pl = pltpu = None
+
+    r_rows = ar.shape[0]
+    if sublanes > 1:
+        # vreg layout: batch as (B/128, 128); each grid step takes
+        # (sublanes, 128) of it so the trailing axes tile whole vregs
+        step = sublanes * 128
+        if b % step == 0:
+            lanes = 128
+        elif b % sublanes == 0:
+            # CPU/XLA testing with small batches: any (B/sublanes) split
+            # preserves the multi-rank graph; the Pallas path (which needs
+            # the full (8, 128) vreg tile) requires b % (sublanes*128) == 0
+            lanes = b // sublanes
+        else:
+            raise ValueError(f"batch {b} must be divisible by "
+                             f"sublanes ({sublanes})")
+        n4 = n_mat.reshape(r_rows, b // lanes, lanes)
+        r4r = rho0_r.reshape(d2, d2, b // lanes, lanes)
+        r4i = rho0_i.reshape(d2, d2, b // lanes, lanes)
+        if use_pallas and _have_pallas() and lanes == 128:
+            def kernel(ar_ref, ai_ref, n_ref, r0r_ref, r0i_ref,
+                       outr_ref, outi_ref):
+                er, ei = apg_fused_lanes(ar_ref[:], ai_ref[:], n_ref[:],
+                                         r0r_ref[:], r0i_ref[:], **kw)
+                outr_ref[:] = er
+                outi_ref[:] = ei
+
+            grid = (b // step,)
+            mat_spec = pl.BlockSpec((d2, d2, sublanes, 128),
+                                    lambda i: (0, 0, i, 0),
+                                    memory_space=pltpu.VMEM)
+            shared2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                                 memory_space=pltpu.VMEM)
+            est_r, est_i = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[shared2(ar.shape), shared2(ai.shape),
+                          pl.BlockSpec((r_rows, sublanes, 128),
+                                       lambda i: (0, i, 0),
+                                       memory_space=pltpu.VMEM),
+                          mat_spec, mat_spec],
+                out_specs=[mat_spec, mat_spec],
+                out_shape=[jax.ShapeDtypeStruct((d2, d2, b // 128, 128),
+                                                rdtype),
+                           jax.ShapeDtypeStruct((d2, d2, b // 128, 128),
+                                                rdtype)],
+                compiler_params=_compiler_params(),
+            )(ar, ai, n4, r4r, r4i)
+        else:
+            est_r, est_i = apg_fused_lanes(ar, ai, n4, r4r, r4i, **kw)
+        est_r = est_r.reshape(d2, d2, b)
+        est_i = est_i.reshape(d2, d2, b)
+    # Mosaic requires the lane (batch-block) dimension to be a multiple of
+    # 128; anything else falls back to the identical-numerics XLA path
+    elif (use_pallas and _have_pallas() and block % 128 == 0
+            and b % block == 0 and b >= block):
         def kernel(ar_ref, ai_ref, n_ref, r0r_ref, r0i_ref,
                    outr_ref, outi_ref):
             er, ei = apg_fused_lanes(ar_ref[:], ai_ref[:], n_ref[:],
@@ -577,17 +790,10 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
             outi_ref[:] = ei
 
         grid = (b // block,)
-        r_rows = ar.shape[0]
         mat_spec = pl.BlockSpec((d2, d2, block), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM)
         shared2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                              memory_space=pltpu.VMEM)
-        try:
-            compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
-        except TypeError:  # older jax spelling
-            compiler_params = pltpu.TPUCompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
         est_r, est_i = pl.pallas_call(
             kernel,
             grid=grid,
@@ -598,7 +804,7 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
             out_specs=[mat_spec, mat_spec],
             out_shape=[jax.ShapeDtypeStruct((d2, d2, b), rdtype),
                        jax.ShapeDtypeStruct((d2, d2, b), rdtype)],
-            compiler_params=compiler_params,
+            compiler_params=_compiler_params(),
         )(ar, ai, n_mat, rho0_r, rho0_i)
     else:
         est_r, est_i = apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, **kw)

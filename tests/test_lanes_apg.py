@@ -202,3 +202,32 @@ def test_apg_fused_headline_statistical_equivalence():
         llr_warm = float(np.max(cost(warm) - c_conv) * 2 * gt)
         assert llr_fused < 20, (seed, shots, llr_fused)
         assert llr_fused < llr_warm + 1.0, (seed, shots, llr_fused, llr_warm)
+
+
+@pytest.mark.slow
+def test_apg_fused_multirank_batch_layout():
+    """The vreg layout (``sublanes > 1``: batch reshaped to (B/lanes, lanes)
+    so matrix entries fill whole TPU vregs) computes the same estimates as
+    the classic rank-3 lanes layout, and holds the < 1e-6 f64 parity bar vs
+    the tight-projection converged reference. The multi-rank graph takes the
+    Mosaic-safe forms (row-wise matmuls/reconstruction, slice-built
+    identities, transpose-style row rotations) whose floating-point op
+    sequence differs from the rank-3 path only in reduction order."""
+    from forest_benchmarking_tpu.ops.lanes_apg import PARITY_TUNED_2Q
+    a = process_tomo_A_matrix(2)
+    aj = jnp.asarray(a)
+    n, _ = synth_process_datasets(jax.random.PRNGKey(1757), aj, 4, 4, 750,
+                                  dtype=jnp.float64)
+    tight = np.asarray(pgdb_process_estimate_batched(
+        aj, n, dim=4, stop_tol=1e-14, maxiter=3000, dyk_tol=1e-10,
+        dyk_iters=500))
+    e1 = np.asarray(apg_fused(aj, n, dim=4, use_pallas=False,
+                              **PARITY_TUNED_2Q))
+    e2 = np.asarray(apg_fused(aj, n, dim=4, use_pallas=False, sublanes=2,
+                              **PARITY_TUNED_2Q))
+    assert np.max(np.abs(e2 - tight)) < 1e-6
+    # layouts agree to reduction-order noise, far below the parity bar
+    np.testing.assert_allclose(e2, e1, atol=1e-7)
+    # batch not divisible by sublanes is rejected
+    with pytest.raises(ValueError):
+        apg_fused(aj, n[:3], dim=4, use_pallas=False, sublanes=2)
