@@ -366,6 +366,25 @@ def metadata_save(qc, repo_path: str = None, filename: str = None):
     return df
 
 
+def pack_shot_data(shot_data) -> np.ndarray:
+    """Pack a (shots, n_bits) 0/1 array into bytes along the bit axis
+    (reference: utils.py:123). Host-side compression for shot archives;
+    unpack with ``np.unpackbits(..., axis=1)[:, :n_bits]``."""
+    return np.packbits(np.asarray(shot_data, dtype=np.uint8), axis=1)
+
+
+def prepare_random_prod_pauli_eigenstate(pauli_term, rng=None):
+    """Circuit preparing a uniformly random (+/-1 per factor) product
+    eigenstate of the PauliTerm (reference: utils.py:315). The chosen
+    labels (e.g. ``"+X-Z"``) are recoverable by inspecting the circuit;
+    pass ``rng`` (``numpy.random.Generator``) for reproducibility."""
+    from forest_benchmarking_tpu.circuits import Circuit
+    prog = Circuit()
+    for qubit, op in pauli_term.operations_as_set():
+        random_local_pauli_eig_prep(prog, op, qubit, rng=rng)
+    return prog
+
+
 def prepare_all_prod_pauli_eigenstates(pauli_term):
     """All circuits preparing every product eigenstate of the PauliTerm (:322)."""
     import itertools

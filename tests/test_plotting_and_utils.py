@@ -158,3 +158,30 @@ def test_plot_figure_for_fit():
     fit = fit_base_param_decay(x, y)
     fig, axs = plot_figure_for_fit(fit, xlabel="depth", ylabel="survival")
     plt.close("all")
+
+
+def test_pack_shot_data_roundtrip():
+    from forest_benchmarking_tpu.utils import pack_shot_data
+    rng = np.random.RandomState(3)
+    shots = rng.randint(0, 2, size=(50, 11))
+    packed = pack_shot_data(shots)
+    assert packed.shape == (50, 2)  # ceil(11/8) bytes per shot
+    unpacked = np.unpackbits(packed, axis=1)[:, :11]
+    assert np.array_equal(unpacked, shots)
+
+
+def test_prepare_random_prod_pauli_eigenstate():
+    from forest_benchmarking_tpu.utils import (
+        prepare_random_prod_pauli_eigenstate)
+    term = str_to_pauli_term("XZ", [0, 1])
+    qvm = QVM(seed=4)
+    rng = np.random.RandomState(5)
+    # every sampled circuit prepares a +/-1 product eigenstate: measuring
+    # each factor in its own basis gives a deterministic outcome
+    seen = set()
+    for _ in range(8):
+        prog = prepare_random_prod_pauli_eigenstate(term, rng=rng)
+        ex = qvm.expectation(prog, [0, 1], term)
+        assert np.isclose(abs(ex), 1.0, atol=1e-10)
+        seen.add(round(float(ex)))
+    assert seen == {-1, 1}  # both signs appear across draws
