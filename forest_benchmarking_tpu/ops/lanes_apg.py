@@ -455,7 +455,7 @@ def _dykstra(zr, zi, vr, vi, iters, sweeps, dim, rounds, eps,
     carry = (zeros, zeros, zeros, zeros, zr, zi, vr, vi)
     if sweeps_rest == sweeps:
         carry = jax.lax.fori_loop(0, iters, make_body(sweeps), carry)
-    else:
+    elif iters > 0:  # iters == 0 must stay a no-op in the split case too
         carry = make_body(sweeps)(0, carry)
         carry = jax.lax.fori_loop(1, iters, make_body(sweeps_rest), carry)
     return carry[4], carry[5], carry[6], carry[7]
@@ -728,6 +728,32 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
         pl = pltpu = None
 
     r_rows = ar.shape[0]
+
+    def _run_pallas(n_in, rr_in, ri_in, n_spec, mat_spec, out_shape, grid):
+        # one pallas_call for both batch layouts; only the batch-axis
+        # BlockSpecs and shapes differ between the classic-lanes and vreg
+        # paths (the kernel body is layout-agnostic: apg_fused_lanes treats
+        # every axis after the first two as batch)
+        def kernel(ar_ref, ai_ref, n_ref, r0r_ref, r0i_ref,
+                   outr_ref, outi_ref):
+            er, ei = apg_fused_lanes(ar_ref[:], ai_ref[:], n_ref[:],
+                                     r0r_ref[:], r0i_ref[:], **kw)
+            outr_ref[:] = er
+            outi_ref[:] = ei
+
+        shared2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[shared2(ar.shape), shared2(ai.shape), n_spec,
+                      mat_spec, mat_spec],
+            out_specs=[mat_spec, mat_spec],
+            out_shape=[jax.ShapeDtypeStruct(out_shape, rdtype),
+                       jax.ShapeDtypeStruct(out_shape, rdtype)],
+            compiler_params=_compiler_params(),
+        )(ar, ai, n_in, rr_in, ri_in)
+
     if sublanes > 1:
         # vreg layout: batch as (B/128, 128); each grid step takes
         # (sublanes, 128) of it so the trailing axes tile whole vregs
@@ -746,34 +772,16 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
         r4r = rho0_r.reshape(d2, d2, b // lanes, lanes)
         r4i = rho0_i.reshape(d2, d2, b // lanes, lanes)
         if use_pallas and _have_pallas() and lanes == 128:
-            def kernel(ar_ref, ai_ref, n_ref, r0r_ref, r0i_ref,
-                       outr_ref, outi_ref):
-                er, ei = apg_fused_lanes(ar_ref[:], ai_ref[:], n_ref[:],
-                                         r0r_ref[:], r0i_ref[:], **kw)
-                outr_ref[:] = er
-                outi_ref[:] = ei
-
-            grid = (b // step,)
-            mat_spec = pl.BlockSpec((d2, d2, sublanes, 128),
-                                    lambda i: (0, 0, i, 0),
-                                    memory_space=pltpu.VMEM)
-            shared2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                                 memory_space=pltpu.VMEM)
-            est_r, est_i = pl.pallas_call(
-                kernel,
-                grid=grid,
-                in_specs=[shared2(ar.shape), shared2(ai.shape),
-                          pl.BlockSpec((r_rows, sublanes, 128),
-                                       lambda i: (0, i, 0),
-                                       memory_space=pltpu.VMEM),
-                          mat_spec, mat_spec],
-                out_specs=[mat_spec, mat_spec],
-                out_shape=[jax.ShapeDtypeStruct((d2, d2, b // 128, 128),
-                                                rdtype),
-                           jax.ShapeDtypeStruct((d2, d2, b // 128, 128),
-                                                rdtype)],
-                compiler_params=_compiler_params(),
-            )(ar, ai, n4, r4r, r4i)
+            est_r, est_i = _run_pallas(
+                n4, r4r, r4i,
+                n_spec=pl.BlockSpec((r_rows, sublanes, 128),
+                                    lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM),
+                mat_spec=pl.BlockSpec((d2, d2, sublanes, 128),
+                                      lambda i: (0, 0, i, 0),
+                                      memory_space=pltpu.VMEM),
+                out_shape=(d2, d2, b // 128, 128),
+                grid=(b // step,))
         else:
             est_r, est_i = apg_fused_lanes(ar, ai, n4, r4r, r4i, **kw)
         est_r = est_r.reshape(d2, d2, b)
@@ -782,30 +790,14 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
     # 128; anything else falls back to the identical-numerics XLA path
     elif (use_pallas and _have_pallas() and block % 128 == 0
             and b % block == 0 and b >= block):
-        def kernel(ar_ref, ai_ref, n_ref, r0r_ref, r0i_ref,
-                   outr_ref, outi_ref):
-            er, ei = apg_fused_lanes(ar_ref[:], ai_ref[:], n_ref[:],
-                                     r0r_ref[:], r0i_ref[:], **kw)
-            outr_ref[:] = er
-            outi_ref[:] = ei
-
-        grid = (b // block,)
-        mat_spec = pl.BlockSpec((d2, d2, block), lambda i: (0, 0, i),
-                                memory_space=pltpu.VMEM)
-        shared2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                             memory_space=pltpu.VMEM)
-        est_r, est_i = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[shared2(ar.shape), shared2(ai.shape),
-                      pl.BlockSpec((r_rows, block), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-                      mat_spec, mat_spec],
-            out_specs=[mat_spec, mat_spec],
-            out_shape=[jax.ShapeDtypeStruct((d2, d2, b), rdtype),
-                       jax.ShapeDtypeStruct((d2, d2, b), rdtype)],
-            compiler_params=_compiler_params(),
-        )(ar, ai, n_mat, rho0_r, rho0_i)
+        est_r, est_i = _run_pallas(
+            n_mat, rho0_r, rho0_i,
+            n_spec=pl.BlockSpec((r_rows, block), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+            mat_spec=pl.BlockSpec((d2, d2, block), lambda i: (0, 0, i),
+                                  memory_space=pltpu.VMEM),
+            out_shape=(d2, d2, b),
+            grid=(b // block,))
     else:
         est_r, est_i = apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, **kw)
 

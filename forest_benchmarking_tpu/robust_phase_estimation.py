@@ -255,7 +255,6 @@ def robust_phase_estimate(results: List[List[ExperimentResult]],
     relative_phases = []
     for xy_q in qubits:
         expectations = []
-        std_errs = []
         z_qubits = [q for q in qubits if q != xy_q]
         for label in ["X", "Y"]:
             results_by_z_qubit = {q: [] for q in z_qubits}
@@ -275,47 +274,33 @@ def robust_phase_estimate(results: List[List[ExperimentResult]],
             if len(i_results) == 0:
                 break
 
-            xy_expectations = []
-            xy_std_errs = []
+            # every moment series for this label, kept as (exp, err) pairs so
+            # the value and its uncertainty travel together
+            label_series = []
             if max(len(ress) for ress in results_by_z_qubit.values()) == 0:
-                selected_expectations = [r.expectation for r in i_results]
-                selected_std_errs = [r.std_err for r in i_results]
-                xy_expectations.append(selected_expectations)
-                xy_std_errs.append(selected_std_errs)
-                expectations.append(xy_expectations)
-                std_errs.append(xy_std_errs)
-                continue
-
-            for q, ress in results_by_z_qubit.items():
-                try:
-                    in_state = i_results[0].setting.in_state[q]
-                except IndexError:
-                    in_state = None
-                for post_select_state in [0, 1]:
-                    if in_state == _OneQState("Z", 1 - post_select_state, q):
-                        continue
-                    selected_expectations = []
-                    selected_std_errs = []
-                    for res, i_res in zip(ress, i_results):
-                        if post_select_state == 0:
-                            selected_expectations.append(
-                                i_res.expectation + res.expectation)
-                        else:
-                            selected_expectations.append(
-                                i_res.expectation - res.expectation)
-                        selected_std_errs.append(
-                            np.sqrt(res.std_err ** 2 + i_res.std_err ** 2))
-                    xy_expectations.append(selected_expectations)
-                    xy_std_errs.append(selected_std_errs)
-            expectations.append(xy_expectations)
-            std_errs.append(xy_std_errs)
+                label_series.append([(r.expectation, r.std_err)
+                                     for r in i_results])
+            else:
+                for q, ress in results_by_z_qubit.items():
+                    try:
+                        in_state = i_results[0].setting.in_state[q]
+                    except IndexError:
+                        in_state = None
+                    for post_state, sign in ((0, +1.0), (1, -1.0)):
+                        if in_state == _OneQState("Z", 1 - post_state, q):
+                            continue
+                        label_series.append([
+                            (i_res.expectation + sign * res.expectation,
+                             np.sqrt(res.std_err ** 2 + i_res.std_err ** 2))
+                            for res, i_res in zip(ress, i_results)])
+            expectations.append(label_series)
 
         if len(expectations) == 0:
             continue
-        x_exps, y_exps = expectations
-        x_std_errs, y_std_errs = std_errs
-        for x_exp, y_exp, x_err, y_err in zip(x_exps, y_exps, x_std_errs,
-                                              y_std_errs):
+        x_series, y_series = expectations
+        for xp, yp in zip(x_series, y_series):
+            x_exp, x_err = (list(t) for t in zip(*xp))
+            y_exp, y_err = (list(t) for t in zip(*yp))
             relative_phases.append(
                 estimate_phase_from_moments(x_exp, y_exp, x_err, y_err))
     return relative_phases

@@ -26,7 +26,8 @@ from __future__ import annotations
 import functools
 import itertools
 from operator import mul
-from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+from typing import (Callable, Iterator, List, Optional, Sequence, Tuple,
+                    Union)
 
 import numpy as np
 import jax
@@ -652,7 +653,7 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
                                   warm_start: bool = False,
                                   return_iters: bool = False,
                                   fused_schedule: str = "parity") \
-        -> jnp.ndarray:
+        -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Batched PGDB: (R, d^4) shared A-matrix, (B, R) counts -> (B, d^2, d^2).
 
     This is the BASELINE north-star kernel: thousands of 2Q process-MLE solves
@@ -702,6 +703,11 @@ def pgdb_process_estimate_batched(a: jnp.ndarray, n: jnp.ndarray, dim: int,
             cfg = (PARITY_TUNED_2Q if fused_schedule == "parity"
                    else HEADLINE_TUNED_2Q)
             return apg_fused(a, n, dim=dim, **cfg)
+        if fused_schedule != "parity":
+            raise ValueError(
+                f"fused_schedule='{fused_schedule}' is only tuned/validated "
+                f"for dim=4 (2Q); dim={dim} runs the conservative default "
+                f"schedule — pass fused_schedule='parity' explicitly")
         return apg_fused(a, n, dim=dim)
     if loop_dyk_iters is not None and loop_dyk_iters < 1:
         raise ValueError(f"loop_dyk_iters must be >= 1, got {loop_dyk_iters}")

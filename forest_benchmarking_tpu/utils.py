@@ -380,7 +380,10 @@ def prepare_random_prod_pauli_eigenstate(pauli_term, rng=None):
     pass ``rng`` (``numpy.random.Generator``) for reproducibility."""
     from forest_benchmarking_tpu.circuits import Circuit
     prog = Circuit()
-    for qubit, op in pauli_term.operations_as_set():
+    # operations_as_set() is a frozenset: iterate in qubit order so the same
+    # rng consumes draws in the same qubit order in every process (set order
+    # varies with str-hash randomization, which would break reproducibility)
+    for qubit, op in sorted(pauli_term.operations_as_set()):
         random_local_pauli_eig_prep(prog, op, qubit, rng=rng)
     return prog
 
@@ -389,7 +392,7 @@ def prepare_all_prod_pauli_eigenstates(pauli_term):
     """All circuits preparing every product eigenstate of the PauliTerm (:322)."""
     import itertools
     from forest_benchmarking_tpu.circuits import Circuit
-    opset = pauli_term.operations_as_set()
+    opset = sorted(pauli_term.operations_as_set())  # deterministic order
     prod_preps = itertools.product(
         *[local_pauli_eigs_prep(op, qubit) for qubit, op in opset])
     out = []

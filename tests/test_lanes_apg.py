@@ -231,3 +231,31 @@ def test_apg_fused_multirank_batch_layout():
     # batch not divisible by sublanes is rejected
     with pytest.raises(ValueError):
         apg_fused(aj, n[:3], dim=4, use_pallas=False, sublanes=2)
+
+
+def test_dykstra_zero_final_iters_is_noop_in_split_case():
+    """``final_iters=0`` must skip the final projection entirely whether or
+    not ``final_sweeps_rest`` splits the schedule (the split branch used to
+    run one stray iteration before its empty fori_loop)."""
+    a = process_tomo_A_matrix(1)
+    aj = jnp.asarray(a)
+    n, _ = synth_process_datasets(jax.random.PRNGKey(7), aj, 2, 4, 500,
+                                  dtype=jnp.float64)
+    base = np.asarray(apg_fused(aj, n, dim=2, use_pallas=False,
+                                final_iters=0))
+    split = np.asarray(apg_fused(aj, n, dim=2, use_pallas=False,
+                                 final_iters=0, final_sweeps_rest=0))
+    np.testing.assert_array_equal(split, base)
+
+
+def test_fused_schedule_headline_rejected_for_non_2q():
+    """The tuned headline schedule is validated for dim=4 only; asking for
+    it at another dim must raise, not silently run the parity schedule."""
+    a = process_tomo_A_matrix(1)
+    aj = jnp.asarray(a)
+    n, _ = synth_process_datasets(jax.random.PRNGKey(8), aj, 2, 4, 500,
+                                  dtype=jnp.float64)
+    with pytest.raises(ValueError, match="dim=4"):
+        pgdb_process_estimate_batched(aj, n, dim=2, method="apg",
+                                      cp_method="pallas",
+                                      fused_schedule="headline")
