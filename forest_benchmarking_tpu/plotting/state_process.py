@@ -19,6 +19,26 @@ THREE_COLOR_MAP = ["#48737F", "#FFFFFF", "#D6619E"]
 rigetti_3_color_cm = LinearSegmentedColormap.from_list(
     "fbtpu", THREE_COLOR_MAP[::-1], N=100)
 
+_COEFF_TICKS = [-1 / 2, -1 / 4, 0, 1 / 4, 1 / 2]
+
+
+def _pauli_ticks(ax, axis: str, labels, rotation: float = 0,
+                 fontsize=None) -> None:
+    """One tick per Pauli label on the given axis ('x' or 'y')."""
+    text_kw = {"rotation": rotation}
+    if fontsize is not None:
+        text_kw["fontsize"] = fontsize
+    which = ax.xaxis if axis == "x" else ax.yaxis
+    which.set_ticks(np.arange(len(labels)))
+    which.set_ticklabels(labels, **text_kw)
+
+
+def _finish(ax, title, fontsize=None) -> None:
+    pad = {} if fontsize is None else {"fontsize": int(np.floor(1.2 * fontsize)),
+                                       "pad": 15}
+    ax.set_title(title, **pad)
+    ax.grid(False)
+
 
 def plot_pauli_rep_of_state(state_pl_basis, ax, labels, title):
     """Heat-strip visualization of a state's Pauli-Liouville coefficients."""
@@ -30,39 +50,34 @@ def plot_pauli_rep_of_state(state_pl_basis, ax, labels, title):
 
     im = ax.imshow(state_pl_basis, interpolation="nearest", cmap="RdBu",
                    vmin=-1 / 2, vmax=1 / 2)
-    dim = len(labels)
     rows, cols = state_pl_basis.shape
+    # column vector: Pauli labels run down the y axis and the colorbar sits
+    # beside the strip; row vector: labels along x, colorbar underneath
     if rows > cols:
-        cb = plt.colorbar(im, ax=ax, ticks=[-1 / 2, -1 / 4, 0, 1 / 4, 1 / 2])
+        cb = plt.colorbar(im, ax=ax, ticks=_COEFF_TICKS)
         cb.ax.yaxis.set_tick_params(pad=35)
+        _pauli_ticks(ax, "y", labels)
+        ax.set_ylabel("Pauli Operator")
         ax.set_xlabel("Coefficient")
         ax.set_xticks([])
-        ax.set_yticks(range(dim))
-        ax.set_ylabel("Pauli Operator")
-        ax.set_yticklabels(labels)
     else:
-        plt.colorbar(im, ax=ax, ticks=[-1 / 2, -1 / 4, 0, 1 / 4, 1 / 2],
+        plt.colorbar(im, ax=ax, ticks=_COEFF_TICKS,
                      orientation="horizontal", pad=0.22)
+        _pauli_ticks(ax, "x", labels)
+        ax.set_xlabel("Pauli Operator")
         ax.set_ylabel("Coefficient")
         ax.set_yticks([])
-        ax.set_xticks(range(dim))
-        ax.set_xlabel("Pauli Operator")
-        ax.set_xticklabels(labels)
-    ax.set_title(title)
-    ax.grid(False)
+    _finish(ax, title)
 
 
 def plot_pauli_bar_rep_of_state(state_pl_basis, ax, labels, title):
     """Bar-graph visualization of a state's Pauli-Liouville coefficients."""
-    dim = len(labels)
-    ax.bar(np.arange(dim) - .4, np.real(np.asarray(state_pl_basis)).ravel(),
-           width=.8)
-    ax.set_xticks(range(dim))
+    coeffs = np.real(np.asarray(state_pl_basis)).ravel()
+    ax.bar(np.arange(len(labels)) - .4, coeffs, width=.8)
+    _pauli_ticks(ax, "x", labels, rotation=45)
     ax.set_xlabel("Pauli Operator")
     ax.set_ylabel("Coefficient")
-    ax.set_title(title)
-    ax.set_xticklabels(labels, rotation=45)
-    ax.grid(False)
+    _finish(ax, title)
 
 
 def plot_pauli_transfer_matrix(ptransfermatrix, ax, labels=None, title="",
@@ -72,24 +87,16 @@ def plot_pauli_transfer_matrix(ptransfermatrix, ax, labels=None, title="",
     im = ax.imshow(ptransfermatrix, interpolation="nearest", cmap="RdBu",
                    vmin=-1, vmax=1)
     if labels is None:
-        dim_squared = ptransfermatrix.shape[0]
-        num_qubits = int(np.log2(np.sqrt(dim_squared)))
+        num_qubits = int(np.log2(np.sqrt(ptransfermatrix.shape[0])))
         labels = ["".join(x) for x in
                   itertools.product("IXYZ", repeat=num_qubits)]
-    else:
-        dim_squared = len(labels)
 
-    cb = plt.colorbar(im, ax=ax,
-                      ticks=[-1, -3 / 4, -1 / 2, -1 / 4, 0, 1 / 4, 1 / 2,
-                             3 / 4, 1])
+    cb = plt.colorbar(im, ax=ax, ticks=np.linspace(-1, 1, 9))
     cb.ax.yaxis.set_tick_params(pad=35)
-    ax.set_xticks(range(dim_squared))
+    tick_fs = int(np.floor(0.7 * fontsizes))
+    _pauli_ticks(ax, "x", labels, rotation=45, fontsize=tick_fs)
+    _pauli_ticks(ax, "y", labels, fontsize=tick_fs)
     ax.set_xlabel("Input Pauli Operator", fontsize=fontsizes)
-    ax.set_yticks(range(dim_squared))
     ax.set_ylabel("Output Pauli Operator", fontsize=fontsizes)
-    ax.set_title(title, fontsize=int(np.floor(1.2 * fontsizes)), pad=15)
-    ax.set_xticklabels(labels, rotation=45,
-                       fontsize=int(np.floor(0.7 * fontsizes)))
-    ax.set_yticklabels(labels, fontsize=int(np.floor(0.7 * fontsizes)))
-    ax.grid(False)
+    _finish(ax, title, fontsize=fontsizes)
     return ax
