@@ -125,6 +125,12 @@ def proj_choi_to_physical(choi: jnp.ndarray, make_trace_preserving: bool = True,
 
     evaluated per batch element. ``max_iters`` is a safety bound absent from the
     reference; at float64 and tol=1e-4 Dykstra converges in tens of iterations.
+
+    Like the reference, the iteration ends on the TP half-step: the output is
+    TP to machine precision but completely positive only up to the Dykstra
+    convergence level — the most-negative Choi eigenvalue scales ~O(sqrt(tol))
+    (measured: -2e-3 at tol=1e-4, -2e-6 at 1e-10, -3e-8 at 1e-14). Tighten
+    ``tol`` when downstream code needs a strictly CP estimate.
     """
     choi = jnp.asarray(choi)
     proj_tp = (proj_choi_to_trace_preserving if make_trace_preserving
