@@ -186,16 +186,21 @@ def process_infidelity(pauli_lio0: jnp.ndarray, pauli_lio1: jnp.ndarray) -> jnp.
 
 
 def _dnorm_objective(a: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
-    """f(rho(A)) = sum of positive eigenvalues of (I (x) S)^dag J (I (x) S).
+    """f(rho(A)) = sum of positive eigenvalues of (S (x) I)^dag J (S (x) I).
 
-    S = A / ||A||_F so that rho = S S^dag is PSD with unit trace. The spectrum
-    equals that of J (I (x) rho), so any square-root factor works; gradients flow
-    only through eigenvalues (dlam_i = v_i^dag dM v_i), never eigenvector gaps.
+    S = A / ||A||_F so that rho = S S^dag is PSD with unit trace. S lifts onto
+    the FIRST Choi factor — the input/reference system in this repo's
+    H_in (x) H_out convention (the entangled probe is (M (x) I)|Omega>, so the
+    square-root factor conjugates the input side; putting it on the output
+    factor is only equivalent for transpose-covariant channels such as
+    unitaries and depolarizing). The spectrum equals that of J (rho (x) I), so
+    any square-root factor works; gradients flow only through eigenvalues
+    (dlam_i = v_i^dag dM v_i), never eigenvector gaps.
     """
     d = a.shape[-1]
     s = a / jnp.sqrt(jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1), keepdims=True))
     eye = jnp.eye(d, dtype=a.dtype)
-    lift = jnp.einsum("ij,...kl->...ikjl", eye, s).reshape(*a.shape[:-2], d * d, d * d)
+    lift = jnp.einsum("...ij,kl->...ikjl", s, eye).reshape(*a.shape[:-2], d * d, d * d)
     # full-precision matmuls: on TPU the default bf16 passes cost ~3 decades
     # of objective accuracy in f32 (the round-1 "1e-3 floor"); pinned HIGHEST
     # here so accuracy doesn't depend on the ambient precision config
@@ -221,13 +226,15 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
     objective over rho with Adam on an unconstrained square-root factor, with
     multiple deterministic restarts, and keep the best value.
 
-    Accuracy (measured): with the defaults (200 iters, 2 restarts) the worst
-    f64 error is 3e-13 on 1Q analytic cases (depolarizing/RZ/X vs identity)
-    and 1e-11 vs an 800-iter/6-restart gold run on random 2Q BCSZ pairs; 400/4
-    reaches 1e-15. f32 error vs the f64 gold run on identical channel pairs:
-    4.2e-7 on cpu, 3.0e-6 on a v5e chip (the objective's matmuls are pinned
-    to Precision.HIGHEST below — without that pin, TPU's default bf16 passes
-    degrade f32 accuracy to ~1e-3).
+    Accuracy (measured, after the input-factor lift fix): with the defaults
+    (200 iters, 2 restarts) the worst f64 error is 3e-13 on 1Q analytic cases
+    (depolarizing/RZ/X vs identity), exact (4e-16) on maximally-distinguishable
+    replacer channels at d=2 and d=4, and 8e-6 vs an 800-iter/6-restart gold
+    run over random BCSZ pairs (the worst pairs sit at the dnorm=2 extreme
+    where the ascent plateaus; interior pairs agree to <1e-10). f32 error vs
+    the f64 gold run on identical channel pairs: ~4e-7 on cpu, ~3e-6 on a v5e
+    chip (the objective's matmuls are pinned to Precision.HIGHEST below —
+    without that pin, TPU's default bf16 passes degrade f32 accuracy to ~1e-3).
 
     :return: per-batch-element diamond norm distance (real array).
     """

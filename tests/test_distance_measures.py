@@ -174,3 +174,38 @@ def test_diamond_norm_2q_cphase():
                                         kraus2choi(jnp.asarray(v)[None]),
                                         num_iters=600))
     assert np.isclose(dn, 2 * np.sin(theta / 2), atol=2e-2), dn
+
+
+def _replacer_choi(vec):
+    """Choi of E(rho) = tr(rho) |v><v| (Kraus {|v><j|})."""
+    d = len(vec)
+    kraus = np.stack([np.outer(vec, e) for e in np.eye(d)])
+    return kraus2choi(jnp.asarray(kraus))
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_diamond_norm_asymmetric_replacer_channels(d):
+    """Replace-with-|0> vs replace-with-|d-1>: perfectly distinguishable, so
+    the diamond distance is exactly 2. These channels are NOT transpose
+    covariant, so they catch the sqrt(rho) lift landing on the wrong Choi
+    factor (the output-factor variant returns 2d here), which the unitary/
+    depolarizing cases cannot detect."""
+    e = np.eye(d, dtype=complex)
+    dn = float(dm.diamond_norm_distance(_replacer_choi(e[0]),
+                                        _replacer_choi(e[d - 1])))
+    assert np.isclose(dn, 2.0, atol=1e-6), dn
+
+
+def test_diamond_norm_random_pairs_respect_bounds():
+    """For random CPTP pairs: ||J||_tr / d <= dnorm <= 2 must hold; the
+    pre-fix output-factor lift violated the upper bound on d=4 pairs."""
+    from forest_benchmarking_tpu.ops import rand_map_with_BCSZ_dist
+    for seed in range(4):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        d = [2, 4][seed % 2]
+        a = rand_map_with_BCSZ_dist(k1, d, kraus_rank=2, dtype=jnp.complex128)
+        b = rand_map_with_BCSZ_dist(k2, d, kraus_rank=2, dtype=jnp.complex128)
+        dn = float(dm.diamond_norm_distance(a, b))
+        j = np.asarray(a - b)
+        lb = np.abs(np.linalg.eigvalsh(j)).sum() / d
+        assert lb - 1e-6 <= dn <= 2 + 1e-6, (seed, dn, lb)
