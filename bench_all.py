@@ -238,20 +238,30 @@ def config5_noisy_quantum_volume(depth=4, num_circuits=800, shots=1000,
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_ALL.json"
-    results = [
-        config1_state_tomo(),
+    sections = [
+        ("config1", config1_state_tomo),
         # config 2 is the headline bench (incl. parity_solves_per_sec)
-        {"metric": "see bench.py (2q PGDB MLE + fused-parity solver)",
-         "value": None, "unit": "solves/sec", "vs_baseline": None},
-        config3_rb_fits(),
-        config4_dfe_distances(),
-        config5_quantum_volume(),
-        config5_noisy_quantum_volume(),
+        ("config2", lambda: {
+            "metric": "see bench.py (2q PGDB MLE + fused-parity solver)",
+            "value": None, "unit": "solves/sec", "vs_baseline": None}),
+        ("config3", config3_rb_fits),
+        ("config4", config4_dfe_distances),
+        ("config5_ideal", config5_quantum_volume),
+        ("config5_noisy_d4", config5_noisy_quantum_volume),
         # QV-relevant depth: the trajectory kernel makes noisy depth 8 fast
         # (400 circuits amortizes the dispatch; the kernel peaks there)
-        config5_noisy_quantum_volume(depth=8, num_circuits=400,
-                                     noisy_method="trajectory"),
+        ("config5_noisy_d8", lambda: config5_noisy_quantum_volume(
+            depth=8, num_circuits=400, noisy_method="trajectory")),
     ]
+    results = []
+    for name, fn in sections:
+        # one transiently-failing config (e.g. a Mosaic remote-compile 500)
+        # must not take down the other six measurements
+        try:
+            results.append(fn())
+        except Exception as e:  # noqa: BLE001
+            results.append({"metric": name, "value": None,
+                            "error": str(e)[:300]})
     lines = [json.dumps(r) for r in results]
     for line in lines:
         print(line)
