@@ -32,8 +32,19 @@ __all__ = [
     "decaying_cosine", "fit_decaying_cosine",
     "shifted_cosine", "fit_shifted_cosine",
     "FitResult", "Param", "fit_model", "fit_model_batched",
-    "fit_result_to_json", "plot_figure_for_fit",
+    "fit_result_to_json", "plot_figure_for_fit", "errs_to_weights",
 ]
+
+
+def errs_to_weights(errs: Sequence[float]) -> Optional[np.ndarray]:
+    """1/err fit weights with zero errors replaced by the smallest non-zero
+    one; None when every error is zero (unweighted fit). Shared by the RB and
+    qubit-spectroscopy fitters."""
+    non_zero = [v for v in errs if v > 0]
+    if len(non_zero) == 0:
+        return None
+    min_non_zero = min(non_zero)
+    return 1 / np.asarray([v if v > 0 else min_non_zero for v in errs])
 
 
 # ------------------------------- models ------------------------------------

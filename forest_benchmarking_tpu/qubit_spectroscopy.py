@@ -76,17 +76,12 @@ def get_stats_by_qubit(expt_results: List[List[ExperimentResult]]) \
 def _pauli_to_weights(expectations: Sequence[float],
                       std_errs: Sequence[float] = None):
     """(probability-of-one, weights) from negated Pauli expectations."""
+    from forest_benchmarking_tpu.analysis.fitting import errs_to_weights
     expectations = np.asarray(expectations)
     if std_errs is not None:
         probability_one, var = transform_pauli_moments_to_bit(
             -1 * expectations, np.asarray(std_errs) ** 2)
-        err = np.sqrt(var)
-        non_zero = [v for v in err if v > 0]
-        if len(non_zero) == 0:
-            return probability_one, None
-        min_non_zero = min(non_zero)
-        weights = 1 / np.asarray([v if v > 0 else min_non_zero for v in err])
-        return probability_one, weights
+        return probability_one, errs_to_weights(np.sqrt(var))
     probability_one, _ = transform_pauli_moments_to_bit(-1 * expectations, 0)
     return probability_one, None
 
@@ -165,11 +160,18 @@ def generate_t2_star_experiments(qubits: Sequence[int], times: Sequence[float],
 def generate_t2_echo_experiments(qubits: Sequence[int], times: Sequence[float],
                                  detuning: float = 1e6) \
         -> List[ObservablesExperiment]:
-    """Like T2* but with a RY(pi) echo splitting the delay."""
+    """Like T2* but with a RY(pi) echo splitting the delay.
+
+    **Deviation from the reference** (:262): no rounding of the half-delay to
+    100 ns boundaries. That grid is a hardware constraint; on the simulator it
+    made a time with an odd number of 100-ns units decohere for 2*round(t/2)
+    != t while the detuning phase and the fit axis used t — a systematic
+    T2-echo bias for those points. Here the two half-delays always sum to
+    exactly the labeled time.
+    """
     expts = []
     for t in times:
-        half_time = round(t / 2, 7)
-        t = round(t, 7)
+        half_time = t / 2
         program = Circuit()
         settings = []
         for q in qubits:

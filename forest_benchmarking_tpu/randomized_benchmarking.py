@@ -25,7 +25,8 @@ import numpy as np
 from forest_benchmarking_tpu.circuits import Circuit, Gate, RX, RZ, CZ, merge_circuits
 from forest_benchmarking_tpu.paulis import all_traceless_pauli_z_terms
 from forest_benchmarking_tpu.utils import is_pos_pow_two, progress_iter
-from forest_benchmarking_tpu.analysis.fitting import fit_base_param_decay, FitResult
+from forest_benchmarking_tpu.analysis.fitting import (
+    fit_base_param_decay, FitResult, errs_to_weights as _errs_to_weights)
 from forest_benchmarking_tpu.clifford import generate_rb_sequence as _clifford_rb_sequence
 from forest_benchmarking_tpu.observable_estimation import (
     ExperimentSetting, ExperimentResult, ObservablesExperiment, zeros_state,
@@ -57,10 +58,13 @@ def get_stats_by_qubit_group(qubit_groups: Sequence[Sequence[int]],
     for results in expt_results:
         by_group = get_results_by_qubit_groups(results, qubits)
         for group in qubits:
+            # get_results_by_qubit_groups keys by sorted tuple; keep the
+            # caller's (order-significant) tuple in OUR output keys
+            res_list = by_group[tuple(sorted(group))]
             stats[group]["expectation"].append(
-                [res.expectation for res in by_group[group]])
+                [res.expectation for res in res_list])
             stats[group]["std_err"].append(
-                [res.std_err for res in by_group[group]])
+                [res.std_err for res in res_list])
     return stats
 
 
@@ -185,10 +189,18 @@ def covariances_of_all_iz_obs(expectations: Sequence[float], num_shots: int):
     """Summed pairwise covariance of the I/Z-product observables (:308-345).
 
     Uses that the product of two distinct I/Z observables is a third one from
-    the same list, so the covariance is a function of the expectations alone.
+    the same list, so the covariance is a function of the expectations alone:
+    over the group (Z/2)^n \\ {0} of dim-1 Z-strings, a ⊕ b = k with a,b,k
+    all nonzero and a != b has exactly dim-2 ordered solutions, so the
+    (dim-1)(dim-2) ordered products cover the list dim-2 times each.
+    **Deviation from the reference**: its "2 * sum" (reference :339) counts
+    two copies of the list, which is only correct for dim <= 4 (1-2 qubit
+    groups, the only sizes it exercises); for 3+ qubit groups the correct
+    multiplicity is dim-2.
     """
-    assert is_pos_pow_two(len(expectations) + 1)
-    covariance = 2 * sum(expectations)
+    dim = len(expectations) + 1
+    assert is_pos_pow_two(dim)
+    covariance = (dim - 2) * sum(expectations)
     covariance -= sum(e1 * e2 for i, e1 in enumerate(expectations)
                       for j, e2 in enumerate(expectations) if i != j)
     return covariance / num_shots
@@ -213,13 +225,6 @@ def z_obs_stats_to_survival_statistics(expectations: Sequence[float],
     return survival_probability, survival_var
 
 
-def _errs_to_weights(errs: Sequence[float]) -> Optional[np.ndarray]:
-    """1/err weights with zero errors replaced by the smallest non-zero one."""
-    non_zero = [v for v in errs if v > 0]
-    if len(non_zero) == 0:
-        return None
-    min_non_zero = min(non_zero)
-    return 1 / np.asarray([v if v > 0 else min_non_zero for v in errs])
 
 
 def fit_rb_results(depths: Sequence[int],
@@ -439,8 +444,10 @@ def circuit_unitary_np(circuit: Circuit, qubits: Sequence[int]) -> np.ndarray:
 
 
 def sequences_to_ptm_stack(sequences: List[List[Circuit]],
-                           qubits: Sequence[int]) -> np.ndarray:
-    """Stack RB sequences as padded PTMs: (n_seq, max_len, d^2, d^2) float.
+                           qubits: Sequence[int]) \
+        -> Tuple[np.ndarray, np.ndarray]:
+    """(ptms, lengths): padded PTM stack (n_seq, max_len, d^2, d^2) float plus
+    the (n_seq,) true sequence lengths.
 
     Shorter sequences are padded with identity PTMs so the whole experiment is
     one rectangular array for the batched simulator.
@@ -491,10 +498,17 @@ def simulate_rb_survival_batched(ptms, noise_ptm=None, key=None,
     iz_mask = np.array([all(c in "IZ" for c in lab) for lab in labels])
     r0 = jnp.asarray(iz_mask.astype(np.float64), ptms.dtype)
 
+    # full-precision matvecs: at depth ~100 the TPU default bf16 passes
+    # accumulate ~1e-2 survival error — the size of the decays being fit
+    # (same hazard density.py:40 / statevector.py:33 pin against)
+    hi = jax.lax.Precision.HIGHEST
+
     def evolve(rseq, slen):
         def body(carry, m):
             r, j = carry
-            r_next = jnp.where(j < slen, noise @ (m @ r), r)
+            step = jnp.matmul(noise, jnp.matmul(m, r, precision=hi),
+                              precision=hi)
+            r_next = jnp.where(j < slen, step, r)
             return (r_next, j + 1), None
         (r, _), _ = lax.scan(body, (r0, jnp.asarray(0)), rseq)
         return r

@@ -63,16 +63,24 @@ def decoherence_kraus(duration: float, t1: Optional[float],
     chosen so off-diagonals decay as exp(-t/T2) overall (requires T2 <= 2 T1).
     """
     gamma = 0.0 if (t1 is None or t1 <= 0) else 1 - np.exp(-duration / t1)
-    amp = [np.array([[1, 0], [0, np.sqrt(1 - gamma)]], dtype=complex),
-           np.array([[0, np.sqrt(gamma)], [0, 0]], dtype=complex)]
-    if t2 is None or t2 <= 0:
-        return np.stack(amp)
-    half_t1_rate = 0.0 if (t1 is None or t1 <= 0) else 1 / (2 * t1)
-    phi_rate = 1 / t2 - half_t1_rate
-    lam = 1 - np.exp(-2 * duration * max(phi_rate, 0.0))
-    deph = [np.diag([1, np.sqrt(1 - lam)]).astype(complex),
-            np.diag([0, np.sqrt(lam)]).astype(complex)]
-    return np.stack([d @ a for a in amp for d in deph])
+    amp = [np.array([[1, 0], [0, np.sqrt(1 - gamma)]], dtype=complex)]
+    if gamma > 0:  # gamma == 0 makes this operator identically zero
+        amp.append(np.array([[0, np.sqrt(gamma)], [0, 0]], dtype=complex))
+    ops = amp
+    if t2 is not None and t2 > 0:
+        half_t1_rate = 0.0 if (t1 is None or t1 <= 0) else 1 / (2 * t1)
+        phi_rate = 1 / t2 - half_t1_rate
+        lam = 1 - np.exp(-2 * duration * max(phi_rate, 0.0))
+        deph = [np.diag([1, np.sqrt(1 - lam)]).astype(complex)]
+        if lam > 0:
+            deph.append(np.diag([0, np.sqrt(lam)]).astype(complex))
+        ops = [d @ a for a in amp for d in deph]
+    # dropping the zero operators (including composed products like
+    # D_dephase @ A_raise, which is identically zero) halves/quarters the
+    # lifted matmul work per DELAY (each operator costs two 2^n x 2^n
+    # matmuls downstream)
+    ops = [k for k in ops if np.abs(k).max() > 0]
+    return np.stack(ops)
 
 
 def run_density_matrix(circuit: Circuit, qubits: Sequence[int],

@@ -7,6 +7,7 @@ programs with explicit PRNG state — deterministic and server-free.
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Sequence
 
 import numpy as np
@@ -65,6 +66,25 @@ def _symmetrization_patterns(symm_type: int, k: int) -> np.ndarray:
     raise ValueError(f"Unknown symmetrization type {symm_type}")
 
 
+def _circuit_value_key(circuit: Circuit) -> tuple:
+    """Hashable fingerprint of a circuit's full VALUES (gates incl. params and
+    custom matrices, noise channels, readout confusion) — unlike the
+    structure-only key in sim.executor, equal keys here mean the traced
+    program constants are identical, so a jitted closure can be reused."""
+    parts = []
+    for g in circuit.gates:
+        parts.append((g.name, g.qubits,
+                      tuple(float(p) for p in g.params), g.dagger,
+                      None if g.matrix is None else
+                      np.asarray(g.matrix, dtype=complex).tobytes()))
+    for name, qs, kraus in circuit.gate_noise:
+        parts.append(("noise", name, None if qs is None else tuple(qs),
+                      np.asarray(kraus, dtype=complex).tobytes()))
+    for q, mat in sorted(circuit.readout_confusion.items()):
+        parts.append(("conf", q, np.asarray(mat, dtype=float).tobytes()))
+    return tuple(parts)
+
+
 class QVM:
     """A seeded, in-process simulator with optional noise.
 
@@ -83,6 +103,22 @@ class QVM:
         self.t1s = dict(t1s or {})
         self.t2s = dict(t2s or {})
         self.name = f"fbtpu-qvm-{seed}"
+        # value-keyed cache of jitted probabilities()/expectation() programs:
+        # jax.jit caches by function identity, so a fresh lambda per call
+        # would recompile every time on the accelerator backend
+        self._jit_cache: "OrderedDict[tuple, object]" = OrderedDict()
+
+    def _cached_jit(self, key_head: tuple, circuit: Circuit, impl):
+        key = (key_head, _circuit_value_key(circuit), self.noisy,
+               tuple(sorted(self.t1s.items())),
+               tuple(sorted(self.t2s.items())))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(impl)
+            if len(self._jit_cache) >= 256:
+                self._jit_cache.popitem(last=False)
+            self._jit_cache[key] = fn
+        return fn
 
     # ---- PRNG plumbing ----
     def _next_key(self):
@@ -139,25 +175,40 @@ class QVM:
 
     def probabilities(self, circuit: Circuit, qubits: Sequence[int]) -> jnp.ndarray:
         """Measurement probabilities; jitted so only real buffers leave device."""
+        qubits = list(qubits)
         if self._on_cpu():
-            return self._probs_impl(circuit, list(qubits))
-        return jax.jit(lambda: self._probs_impl(circuit, list(qubits)))()
+            return self._probs_impl(circuit, qubits)
+        fn = self._cached_jit(("probs", tuple(qubits)), circuit,
+                              lambda: self._probs_impl(circuit, qubits))
+        return fn()
 
     def expectation(self, circuit: Circuit, qubits: Sequence[int],
                     observable: PauliTerm) -> float:
-        """Exact <P> on the simulated (possibly noisy) state; no readout error."""
+        """Exact <P> on the simulated (possibly noisy) state; no readout error.
+
+        Like run()/probabilities(), the union of the circuit's, observable's,
+        and requested qubits is simulated, so a circuit touching qubits
+        outside ``qubits`` yields the marginal expectation instead of a crash.
+        """
         qubits = list(qubits)
+        sim_qubits = sorted(set(circuit.get_qubits()) | set(qubits)
+                            | set(observable.get_qubits()))
 
         def impl():
-            op = jnp.asarray(pauli_term_to_matrix(observable, qubits), self.dtype)
+            op = jnp.asarray(pauli_term_to_matrix(observable, sim_qubits),
+                             self.dtype)
             if circuit.gate_noise or self.noisy or self.t1s or self.t2s:
-                rho = run_density_matrix(circuit, qubits, self.dtype,
+                rho = run_density_matrix(circuit, sim_qubits, self.dtype,
                                          t1s=self.t1s, t2s=self.t2s)
                 return jnp.real(jnp.trace(op @ rho))
-            psi = run_statevector(circuit, qubits, self.dtype)
+            psi = run_statevector(circuit, sim_qubits, self.dtype)
             return jnp.real(jnp.conj(psi) @ (op @ psi))
 
-        return float(impl() if self._on_cpu() else jax.jit(impl)())
+        if self._on_cpu():
+            return float(impl())
+        fn = self._cached_jit(("expt", tuple(sim_qubits), str(observable)),
+                              circuit, impl)
+        return float(fn())
 
     # ---- sampling ----
     def run(self, circuit: Circuit, qubits: Sequence[int],
@@ -216,7 +267,15 @@ class QVM:
         base = num_shots // n_patterns
         rem = num_shots - base * n_patterns
 
-        if not self._on_cpu():
+        # the vmapped flip layer applies IDEAL I/X unitaries; if the circuit
+        # attaches a noise channel to X gates, take the per-pattern path below
+        # instead, where flips are real X Gates that pick up that channel —
+        # keeping accelerator semantics identical to the cpu path and to
+        # appending flip gates in pyquil
+        flip_noise = any(
+            name == "X" and (qs is None or any(q in meas_qubits for q in qs))
+            for name, qs, _ in circuit.gate_noise)
+        if not self._on_cpu() and not flip_noise:
             # one compiled executable + one dispatch for ALL patterns: the
             # flip layer is a runtime argument (I or X per measured qubit)
             from forest_benchmarking_tpu.sim.executor import (

@@ -115,3 +115,19 @@ def test_t1_experiment_structure():
     # both qubits measured in one parallel group
     assert len(expts[0]) == 1
     assert len(expts[0][0]) == 2
+
+
+def test_t2_echo_delays_sum_exactly_to_labeled_time():
+    """The two half-delays must sum to exactly t for every requested time —
+    including odd multiples of 100 ns, which the reference's 100-ns rounding
+    (a hardware grid) silently shortened by up to 33% relative to the
+    detuning phase and the fit axis."""
+    from forest_benchmarking_tpu.qubit_spectroscopy import (
+        generate_t2_echo_experiments)
+    times = [3e-7, 4.5e-7, 9e-7, 1.05e-6]
+    expts = generate_t2_echo_experiments([0], times)
+    for t, expt in zip(times, expts):
+        delays = [g.params[0] for g in expt.program.gates if g.name == "DELAY"]
+        assert len(delays) == 2
+        assert delays[0] == delays[1]
+        assert delays[0] + delays[1] == t

@@ -262,3 +262,43 @@ def test_simultaneous_rb_two_groups():
     assert surv0 > 0.98
     assert surv1 < 0.95
     assert fit0.success and fit1.success
+
+
+def test_survival_variance_closes_to_bernoulli_any_group_size():
+    """Algebraic identity: the all-zeros survival estimator built from the
+    I/Z-observable means IS the empirical p(0..0), so its variance from the
+    covariance formula must equal p0(1-p0)/N exactly — for ANY group size.
+    The 3-qubit case pins the dim-2 product multiplicity (the reference's
+    2-copies claim holds only for <= 2 qubits)."""
+    rng = np.random.RandomState(5)
+    num_shots = 1000
+    for n in (1, 2, 3):
+        dim = 2 ** n
+        p = rng.dirichlet(np.ones(dim))
+        # Z-string expectations E_k and their per-observable std errs
+        outcomes = np.arange(dim)
+        expectations, variances = [], []
+        for k in range(1, dim):
+            signs = (-1.0) ** np.array([bin(k & o).count("1") for o in outcomes])
+            e = float((p * signs).sum())
+            expectations.append(e)
+            variances.append((1 - e ** 2) / num_shots)
+        surv, var = z_obs_stats_to_survival_statistics(
+            expectations, np.sqrt(variances), num_shots=num_shots)
+        assert np.isclose(surv, p[0], atol=1e-12)
+        assert np.isclose(var, p[0] * (1 - p[0]) / num_shots, atol=1e-12), n
+
+
+def test_get_stats_by_qubit_group_accepts_unsorted_groups():
+    """Qubit order in a group is meaningful (first = MSB); an unsorted group
+    tuple used to KeyError against the sorted-keyed results bucketing."""
+    from forest_benchmarking_tpu.observable_estimation import (
+        ExperimentResult, ExperimentSetting, zeros_state)
+    from forest_benchmarking_tpu.paulis import PauliTerm
+    res = ExperimentResult(
+        setting=ExperimentSetting(zeros_state([0, 1]),
+                                  PauliTerm([(0, "Z"), (1, "Z")])),
+        expectation=0.25, total_counts=100, std_err=0.05)
+    stats = get_stats_by_qubit_group([(1, 0)], [[res]])
+    assert stats[(1, 0)]["expectation"] == [[0.25]]
+    assert stats[(1, 0)]["std_err"] == [[0.05]]

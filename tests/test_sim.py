@@ -180,3 +180,81 @@ def test_oa_symmetrization_balances_single_qubit_error():
     symm = qvm.run_symmetrized_readout(c, 40000, symm_type=1,
                                        meas_qubits=[0]).mean()
     assert abs(symm - 0.5) < 0.02
+
+
+def test_expectation_with_out_of_register_qubits():
+    """expectation() simulates the union of circuit/observable/requested
+    qubits and returns the marginal, like run()/probabilities() (it used to
+    KeyError on any circuit touching a qubit outside `qubits`)."""
+    from forest_benchmarking_tpu.circuits import CZ, H as HG
+    from forest_benchmarking_tpu.paulis import PauliTerm
+    qvm = QVM()
+    circ = Circuit([HG(0), CZ(0, 1)])
+    # Z on qubit 0 of a (|00>+|11>)-like state after H/CZ: <Z0> = 0
+    val = qvm.expectation(circ, [0], PauliTerm([(0, "Z")]))
+    assert abs(val) < 1e-12
+    # observable on a qubit the caller did not list also works
+    val2 = qvm.expectation(circ, [0], PauliTerm([(1, "X")]))
+    assert np.isfinite(val2)
+
+
+def test_probabilities_jit_cache_reuses_compiled_fn(monkeypatch):
+    """On accelerator backends, value-identical circuits must reuse one
+    jitted program (a fresh lambda per call would recompile every time)."""
+    from forest_benchmarking_tpu.circuits import H as HG
+    qvm = QVM()
+    monkeypatch.setattr(QVM, "_on_cpu", staticmethod(lambda: False))
+    p1 = np.asarray(qvm.probabilities(Circuit([HG(0)]), [0]))
+    p2 = np.asarray(qvm.probabilities(Circuit([HG(0)]), [0]))
+    assert len(qvm._jit_cache) == 1
+    np.testing.assert_allclose(p1, p2)
+    qvm.probabilities(Circuit([HG(0), HG(0)]), [0])
+    assert len(qvm._jit_cache) == 2
+
+
+def test_symmetrized_readout_with_noisy_flip_gates(monkeypatch):
+    """When the circuit defines a noise channel for X gates, the accelerator
+    path must fall back to real per-pattern flip gates so the channel applies
+    (the vmapped flip layer is ideal)."""
+    from forest_benchmarking_tpu.circuits import X as XG
+    # X gates suffer a strong bit-flip channel: each X is followed by a 40%
+    # chance of another flip
+    p = 0.4
+    kraus = np.stack([np.sqrt(1 - p) * np.eye(2),
+                      np.sqrt(p) * np.array([[0, 1], [1, 0]])]).astype(complex)
+    def make_circ():
+        c = Circuit([XG(0)])
+        c.define_noisy_gate("X", None, kraus)
+        return c
+    qvm_cpu = QVM(seed=3)
+    bits_cpu = qvm_cpu.run_symmetrized_readout(make_circ(), 20000,
+                                               symm_type=-1, meas_qubits=[0])
+    qvm_acc = QVM(seed=3)
+    monkeypatch.setattr(QVM, "_on_cpu", staticmethod(lambda: False))
+    bits_acc = qvm_acc.run_symmetrized_readout(make_circ(), 20000,
+                                               symm_type=-1, meas_qubits=[0])
+    # both paths: the prep X is noisy AND the pattern-1 flip X is noisy, so
+    # the distributions must agree (they diverged before the fallback)
+    assert abs(bits_cpu.mean() - bits_acc.mean()) < 0.02
+
+
+def test_decoherence_kraus_drops_zero_operators():
+    from forest_benchmarking_tpu.sim.density import decoherence_kraus
+    # T1-only: both amplitude ops nonzero
+    ks = decoherence_kraus(1e-6, t1=20e-6, t2=None)
+    assert ks.shape[0] == 2
+    # T2-only: the zero-gamma amplitude op and zero-dephasing products drop
+    ks = decoherence_kraus(1e-6, t1=None, t2=15e-6)
+    assert ks.shape[0] == 2
+    # no decoherence at all: a single identity operator
+    ks = decoherence_kraus(1e-6, t1=None, t2=None)
+    assert ks.shape[0] == 1
+    # T1+T2 composed: the D_dephase @ A_raise product is identically zero
+    ks = decoherence_kraus(1e-6, t1=20e-6, t2=15e-6)
+    assert ks.shape[0] == 3
+    # every stack is trace preserving and has no all-zero operator
+    for t1, t2 in [(20e-6, None), (None, 15e-6), (20e-6, 15e-6), (None, None)]:
+        ks = decoherence_kraus(1e-6, t1, t2)
+        tp = sum(k.conj().T @ k for k in ks)
+        np.testing.assert_allclose(tp, np.eye(2), atol=1e-12)
+        assert all(np.abs(k).max() > 0 for k in ks)
