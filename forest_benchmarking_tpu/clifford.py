@@ -156,7 +156,7 @@ def _gate_tableau(name: str, qubits: Tuple[int, ...], n: int) -> CliffordTableau
         idx = q if kind == "X" else n + q
         imgs[idx] = _pb(x, z, phase)
 
-    def unit(q, axis):
+    def unit(q):
         v = [0] * n
         v[q] = 1
         return v
@@ -164,24 +164,24 @@ def _gate_tableau(name: str, qubits: Tuple[int, ...], n: int) -> CliffordTableau
     zero = [0] * n
     if name == "H":
         (q,) = qubits
-        setimg("X", q, zero, unit(q, "z"), 0)
-        setimg("Z", q, unit(q, "x"), zero, 0)
+        setimg("X", q, zero, unit(q), 0)
+        setimg("Z", q, unit(q), zero, 0)
     elif name == "S":
         (q,) = qubits
-        setimg("X", q, unit(q, "x"), unit(q, "z"), 1)  # X -> Y = i X Z
+        setimg("X", q, unit(q), unit(q), 1)  # X -> Y = i X Z
     elif name == "SDG":
         (q,) = qubits
-        setimg("X", q, unit(q, "x"), unit(q, "z"), 3)  # X -> -Y
+        setimg("X", q, unit(q), unit(q), 3)  # X -> -Y
     elif name == "X":
         (q,) = qubits
-        setimg("Z", q, zero, unit(q, "z"), 2)
+        setimg("Z", q, zero, unit(q), 2)
     elif name == "Y":
         (q,) = qubits
-        setimg("X", q, unit(q, "x"), zero, 2)
-        setimg("Z", q, zero, unit(q, "z"), 2)
+        setimg("X", q, unit(q), zero, 2)
+        setimg("Z", q, zero, unit(q), 2)
     elif name == "Z":
         (q,) = qubits
-        setimg("X", q, unit(q, "x"), zero, 2)
+        setimg("X", q, unit(q), zero, 2)
     elif name == "CNOT":
         c, t_ = qubits
         xc = [0] * n
@@ -197,16 +197,16 @@ def _gate_tableau(name: str, qubits: Tuple[int, ...], n: int) -> CliffordTableau
         a, b = qubits
         za = [0] * n
         za[b] = 1
-        setimg("X", a, unit(a, "x"), za, 0)  # X_a -> X_a Z_b
+        setimg("X", a, unit(a), za, 0)  # X_a -> X_a Z_b
         zb = [0] * n
         zb[a] = 1
-        setimg("X", b, unit(b, "x"), zb, 0)  # X_b -> Z_a X_b
+        setimg("X", b, unit(b), zb, 0)  # X_b -> Z_a X_b
     elif name == "SWAP":
         a, b = qubits
-        setimg("X", a, unit(b, "x"), zero, 0)
-        setimg("X", b, unit(a, "x"), zero, 0)
-        setimg("Z", a, zero, unit(b, "z"), 0)
-        setimg("Z", b, zero, unit(a, "z"), 0)
+        setimg("X", a, unit(b), zero, 0)
+        setimg("X", b, unit(a), zero, 0)
+        setimg("Z", a, zero, unit(b), 0)
+        setimg("Z", b, zero, unit(a), 0)
     else:
         raise ValueError(f"Not a supported Clifford gate: {name}")
     return CliffordTableau(imgs, n)
@@ -245,14 +245,16 @@ def _gate_to_tableau_word(gate: Gate, n: int, pos: Dict[int, int]) \
         return [t]
     if name in ("RX", "RY", "RZ"):
         theta = gate.params[0] * (-1 if gate.dagger else 1)
-        frac = theta / np.pi
+        # Clifford-ness is mod 2*pi (up to global phase): wrap into [-1, 1)
+        # so e.g. RZ(3*pi/2) == RZ(-pi/2) and RZ(2*pi - eps) == identity
+        frac = (theta / np.pi + 1.0) % 2.0 - 1.0
+        if np.isclose(frac, 0.0):
+            return []
         for key_frac in (0.5, -0.5, 1.0, -1.0):
             if np.isclose(frac, key_frac):
                 return [_gate_tableau(w[0], qs, n)
                         for w in _MAGIC_WORDS[(name, key_frac)]]
-        if np.isclose(frac % 2, 0):
-            return []
-        raise ValueError(f"{name}({theta}) is not Clifford")
+        raise ValueError(f"{name}({gate.params[0]}) is not Clifford")
     if name == "T":
         raise ValueError("T is not a Clifford gate")
     raise ValueError(f"Unsupported gate for Clifford tableau: {gate}")
@@ -433,7 +435,7 @@ def _apply_named(tab: CliffordTableau, name: str, qs: Tuple[int, ...],
                  word: list) -> CliffordTableau:
     """Compose ``tab`` with a named gate and record it in ``word``."""
     word.append((name, qs))
-    return tab.then(_gate_tableau(name if name != "SDG" else "SDG", qs, tab.n))
+    return tab.then(_gate_tableau(name, qs, tab.n))
 
 
 def synthesize_circuit(tableau: CliffordTableau,
@@ -544,32 +546,35 @@ def _sample_pauli_with_constraints(n: int, constraints, parities,
     for i, c in enumerate(constraints):
         rows[i, :n] = c.z  # pairs with v.x
         rows[i, n:] = c.x  # pairs with v.z
-    while True:
-        # Gaussian elimination to row echelon form
-        a = rows.copy()
-        b = rhs.copy()
-        pivots = []
-        r = 0
-        for col in range(2 * n):
-            piv = None
-            for rr in range(r, m):
-                if a[rr, col]:
-                    piv = rr
-                    break
-            if piv is None:
-                continue
-            a[[r, piv]] = a[[piv, r]]
-            b[[r, piv]] = b[[piv, r]]
-            for rr in range(m):
-                if rr != r and a[rr, col]:
-                    a[rr] ^= a[r]
-                    b[rr] ^= b[r]
-            pivots.append(col)
-            r += 1
-            if r == m:
+    # Gaussian elimination to row echelon form — loop-invariant, so it runs
+    # ONCE; only the free-variable randomization below is inside the
+    # rejection loop (rejection probability can reach 1/4 on the last
+    # sampling steps, exactly where elimination is most expensive)
+    a = rows.copy()
+    b = rhs.copy()
+    pivots = []
+    r = 0
+    for col in range(2 * n):
+        piv = None
+        for rr in range(r, m):
+            if a[rr, col]:
+                piv = rr
                 break
-        # (constraints are independent by construction; solvable)
-        free_cols = [c for c in range(2 * n) if c not in pivots]
+        if piv is None:
+            continue
+        a[[r, piv]] = a[[piv, r]]
+        b[[r, piv]] = b[[piv, r]]
+        for rr in range(m):
+            if rr != r and a[rr, col]:
+                a[rr] ^= a[r]
+                b[rr] ^= b[r]
+        pivots.append(col)
+        r += 1
+        if r == m:
+            break
+    # (constraints are independent by construction; solvable)
+    free_cols = [c for c in range(2 * n) if c not in pivots]
+    while True:
         v = np.zeros(2 * n, dtype=np.int64)
         v[free_cols] = rng.randint(2, size=len(free_cols))
         for i in range(len(pivots) - 1, -1, -1):

@@ -148,6 +148,15 @@ def basic_compile(program: Circuit) -> Circuit:
         elif inst.name == "S":
             # extension over the reference: S = RZ(+-pi/2) (up to global phase)
             new += RZ(-pi / 2 if needs_dagger else pi / 2, inst.qubits[0])
+        elif inst.name == "Z":
+            # extension: Z = RZ(pi) up to global phase (self-inverse). The
+            # Clifford synthesizer emits Z for sign fixes, so 3+ qubit RB
+            # sequences route through here.
+            new += RZ(pi, inst.qubits[0])
+        elif inst.name == "Y":
+            # extension: Y = Z X up to global phase -> RX(pi) then RZ(pi)
+            new += RX(pi, inst.qubits[0])
+            new += RZ(pi, inst.qubits[0])
         elif inst.name == "H":
             new += _H(inst.qubits[0])
         elif inst.name == "X":

@@ -619,6 +619,13 @@ def bitarray_to_moments(bitarray: np.ndarray, qubits: Sequence[int],
     :return: (means, variances), each of shape (len(observables),).
     """
     shots, ncols = bitarray.shape
+    if len(qubits) == 0 and ncols > 0:
+        # identity-only groups: the runner pads the measurement register to
+        # at least one qubit (`meas_qs or [0]`); drop the dummy column(s) so
+        # the identity branch below returns (coefficient, 0) as the
+        # reference's early-return does (observable_estimation.py:826)
+        bitarray = bitarray[:, :0]
+        ncols = 0
     assert ncols == len(qubits), \
         "qubits should label each column of the bitarray"
     col = {q: i for i, q in enumerate(qubits)}

@@ -141,7 +141,6 @@ def estimate_joint_reset_confusion(qc, qubits: Sequence[int] = None,
                 # reset: a fresh program on the simulator starts from |0...0>
                 results = qc.run(Circuit(), list(group), 1)
                 observed = bit_arrays_to_ints(results)
-                matrix[row] += np.bincount(observed, minlength=dim)[
-                    np.arange(dim)] / num_trials
+                matrix[row] += np.bincount(observed, minlength=dim) / num_trials
         confusion_matrices[group] = matrix
     return confusion_matrices

@@ -238,3 +238,35 @@ def test_3q_rb_sequence_composes_to_identity():
         u = circuit_unitary(total, qubits)
         phase = u[0, 0] / abs(u[0, 0])
         assert np.allclose(u / phase, np.eye(8), atol=1e-9)
+
+
+def test_three_qubit_rb_sequence_compiles_and_inverts():
+    """3+ qubit RB goes through synthesize_circuit, whose sign fixes emit Z
+    gates; basic_compile must accept them (it used to raise), and the
+    compiled sequence must still compose to the identity."""
+    from forest_benchmarking_tpu.clifford import generate_rb_sequence
+    from forest_benchmarking_tpu.randomized_benchmarking import (
+        circuit_unitary_np)
+    from forest_benchmarking_tpu.compilation import match_global_phase
+    qubits = [0, 1, 2]
+    seqs = generate_rb_sequence(qubits, 3, rng=np.random.RandomState(0))
+    u = np.eye(8, dtype=complex)
+    for c in seqs:
+        u = circuit_unitary_np(c, qubits) @ u
+    a1, a2 = match_global_phase(u, np.eye(8, dtype=complex))
+    assert np.abs(np.asarray(a1) - np.asarray(a2)).max() < 1e-9
+
+
+def test_clifford_rotation_angles_wrap_mod_2pi():
+    """RZ(3*pi/2) is the same Clifford as RZ(-pi/2) up to global phase; the
+    tableau conversion must accept any 2*pi-equivalent angle."""
+    from forest_benchmarking_tpu.clifford import apply_clifford_to_pauli
+    from forest_benchmarking_tpu.circuits import Circuit, RZ
+    from forest_benchmarking_tpu.paulis import sX
+    for theta in (3 * np.pi / 2, -np.pi / 2, 7 * np.pi / 2):
+        out = apply_clifford_to_pauli(Circuit([RZ(theta, 0)]), sX(0), [0])
+        assert str(out) == "(-1+0j)*Y0", (theta, out)
+    # near-2pi from below is the identity
+    out = apply_clifford_to_pauli(Circuit([RZ(2 * np.pi - 1e-12, 0)]),
+                                  sX(0), [0])
+    assert str(out) == str(sX(0))

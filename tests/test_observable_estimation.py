@@ -190,3 +190,15 @@ def test_get_results_by_qubit_groups():
     groups = get_results_by_qubit_groups([r01, r2], [(0, 1), (2,)])
     assert groups[(0, 1)] == [r01]
     assert groups[(2,)] == [r2]
+
+
+def test_identity_only_observable_group():
+    """A settings group whose observable is the (scaled) identity must yield
+    (coefficient, 0) rather than crashing on the padded measurement register
+    (reference early-returns the coefficient, observable_estimation.py:826)."""
+    from forest_benchmarking_tpu.sim.qvm import QVM
+    expt = ObservablesExperiment(
+        [[ExperimentSetting(zeros_state([0]), PauliTerm({}, 2.0))]], Circuit())
+    res = list(estimate_observables(QVM(), expt, num_shots=50))
+    assert res[0].expectation == 2.0
+    assert res[0].std_err == 0.0
