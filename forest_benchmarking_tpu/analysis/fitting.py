@@ -151,7 +151,12 @@ def _lm_kernel(model_p, x, y, w, p0, num_iters: int):
         r = residual(p)
         jtj = j.T @ j
         g = j.T @ r
-        a = jtj + lam * eye + 1e-300 * eye
+        # dtype-aware relative jitter: a fixed 1e-300 underflows to exactly
+        # 0 in f32, leaving the solve singular whenever the Jacobian (and
+        # hence lam) vanishes at p0
+        jit_eps = jnp.finfo(p.dtype).eps ** 2 * (
+            1.0 + jnp.max(jnp.abs(jnp.diag(jtj))))
+        a = jtj + lam * eye + jit_eps * eye
         delta = jnp.linalg.solve(a, -g)
         p_new = p + delta
         c_new = cost(p_new)
@@ -206,6 +211,10 @@ def fit_model(model_p: Callable, param_names: Sequence[str], x, y,
               weights=None, param_guesses: Sequence[float] = None,
               num_iters: int = 100) -> FitResult:
     """Fit one curve; returns a FitResult with lmfit-convention std errors."""
+    if param_guesses is None:
+        raise ValueError("param_guesses is required (one initial value per "
+                         "model parameter); the fit_* wrappers supply "
+                         "model-specific defaults.")
     x = np.asarray(x, dtype=float)
     y = np.asarray(y, dtype=float)
     if len(x) != len(y):
@@ -234,7 +243,12 @@ def fit_model(model_p: Callable, param_names: Sequence[str], x, y,
         params={k: Param(float(v), float(s))
                 for k, v, s in zip(param_names, p, stderr)},
         chisqr=chisqr, redchi=redchi, covar=covar, best_fit=best_fit,
-        residual=best_fit - y, success=success, x=x, y=y, model_p=model_p)
+        # lmfit convention: the residual is weight-multiplied (model-data)*w,
+        # so the residual panel of plot_figure_for_fit shows error-normalized
+        # deviations like the reference's
+        residual=((best_fit - y) if weights is None
+                  else (best_fit - y) * np.asarray(weights, dtype=float)),
+        success=success, x=x, y=y, model_p=model_p)
 
 
 # ------------------------- reference-shaped wrappers -------------------------

@@ -182,18 +182,15 @@ def proj_choi_to_physical(choi: jnp.ndarray, make_trace_preserving: bool = True,
 def proj_choi_to_unitary(choi: jnp.ndarray) -> jnp.ndarray:
     """Closest unitary channel to the given (batched) Choi matrix [IntQC].
 
-    Take the dominant eigenvector as the largest-norm Kraus operator, polar-project
-    it to a unitary via SVD, fix the global phase by the first element, and return
-    the Choi matrix of that unitary.
+    Take the dominant eigenvector as the largest-norm Kraus operator,
+    polar-project it to a unitary via SVD, and return the Choi matrix of that
+    unitary (which is global-phase invariant).
     """
     choi = jnp.asarray(choi)
-    dim = int(np.sqrt(choi.shape[-1]))
-    vals, vs = jnp.linalg.eigh(hermitianize(choi))
-    # eigh returns ascending order: the dominant eigenvector is the last column
-    large_vec = vs[..., :, -1]
-    kraus = unvec(large_vec)
+    _, vs = jnp.linalg.eigh(hermitianize(choi))
+    # eigh returns ascending order: the dominant eigenvector is the last
+    # column. No global-phase fix-up is needed — the Choi matrix
+    # vec(U) vec(U)^dag is invariant under U -> exp(-i phi) U.
+    kraus = unvec(vs[..., :, -1])
     u, _, vt = jnp.linalg.svd(kraus)
-    unitary = u @ vt
-    phase = jnp.angle(unitary[..., 0, 0])
-    unitary = jnp.exp(-1j * phase)[..., None, None].astype(unitary.dtype) * unitary
-    return kraus2choi(unitary[..., None, :, :])
+    return kraus2choi((u @ vt)[..., None, :, :])

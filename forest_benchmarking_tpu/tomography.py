@@ -210,8 +210,17 @@ def _mle_kernel(obs_mats: jnp.ndarray, expectations: jnp.ndarray,
 
     def compute_r(rho):
         pred = jnp.einsum("sij,ji->s", obs_mats, rho)  # tr(P_s rho), complex
-        cp = (1 + e) / (1 + pred + 2 * tiny)  # f+/pr+ (both halved: factors cancel)
-        cm = (1 - e) / (1 - pred + 2 * tiny)
+        # clamp the predicted-outcome denominators to eps (not tiny): with a
+        # projected (exactly rank-deficient) rho a predicted probability can
+        # hit 0 exactly while the measured one is positive, and 1/tiny-scale
+        # coefficients overflow the f32 rho update to inf/NaN
+        feps = jnp.asarray(jnp.finfo(rdtype).eps, rdtype)
+        dp = 1 + pred
+        dm = 1 - pred
+        dp = jnp.where(jnp.abs(dp) < feps, feps.astype(dp.dtype), dp)
+        dm = jnp.where(jnp.abs(dm) < feps, feps.astype(dm.dtype), dm)
+        cp = (1 + e) / dp  # f+/pr+ (both halved: the 1/2 factors cancel)
+        cm = (1 - e) / dm
         # R = (1/S) sum_s [ cp*(I+P)/2 + cm*(I-P)/2 ]
         id_coef = jnp.sum(cp + cm) / 2
         p_coef = (cp - cm) / 2
@@ -366,12 +375,19 @@ def linear_inv_process_estimate(results: List[ExperimentResult],
     """Linear-inversion process estimate; returns a Choi matrix [WOOD]."""
     dim = 2 ** len(qubits)
     rows = []
+    expectations = []
     for r in results:
         in_mat = state_to_density(r.setting.in_state, qubits)
         op = pauli_term_to_matrix(r.setting.observable.copy(coefficient=1.0), qubits)
         rows.append(np.kron(in_mat.conj(), op).T.reshape(-1).conj())  # vec()^dag
+        # expectations come back scaled by the observable coefficient
+        # (observable_estimation means = coeff * <P>); divide it out since
+        # the row was built from the coefficient-1 operator — mirroring
+        # _results_to_state_arrays on the state path
+        coeff = np.real(complex(r.setting.observable.coefficient))
+        expectations.append(r.expectation / (coeff if coeff != 0 else 1.0))
     measurement_matrix = np.stack(rows)
-    expectations = np.array([r.expectation for r in results], dtype=float)
+    expectations = np.array(expectations, dtype=float)
     choi_vec = jnp.linalg.pinv(jnp.asarray(measurement_matrix)) @ jnp.asarray(
         expectations, dtype=measurement_matrix.dtype)
     return unvec(choi_vec) + jnp.eye(dim ** 2) / dim
@@ -393,13 +409,61 @@ def _extract_from_results(results: List[ExperimentResult], qubits: List[int]):
         proj_minus = (eye - op) / 2
         a_rows.append(np.kron(in_mat, proj_plus.T).T.reshape(-1))  # numpy vec
         a_rows.append(np.kron(in_mat, proj_minus.T).T.reshape(-1))
-        expected_plus = (1 + result.expectation) / 2
+        # projectors above use the coefficient-1 Pauli; expectations are
+        # coeff * <P>, so divide the coefficient out before splitting counts
+        coeff = np.real(complex(result.setting.observable.coefficient))
+        expected_plus = (1 + result.expectation / (coeff if coeff else 1.0)) / 2
         n_vals.append(result.total_counts * expected_plus)
         n_vals.append(result.total_counts * (1 - expected_plus))
         grand_total += result.total_counts
     a = np.stack(a_rows) / dim ** 2
     n = np.asarray(n_vals) / grand_total
     return a, n
+
+
+def _mle_cost_grad(a: jnp.ndarray, n: jnp.ndarray):
+    """(cost, grad_cost, _mv) of the negative log-likelihood -sum n log(A vec E)
+    — the shared core of the PGDB and APG kernels.
+
+    The line searches / restart rules compare small cost differences, so
+    these matvecs need full f32 precision explicitly (TPU matmul default is
+    bf16 passes); the rest of each kernel can stay at the ambient precision.
+    """
+    cdtype = a.dtype
+    rdtype = jnp.real(a).dtype
+    eps = jnp.asarray(1e-6, rdtype)
+    nr = n.astype(rdtype)
+
+    def _mv(mat, v):
+        return jax.lax.dot_general(mat, v, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def cost(est):
+        p = jnp.real(_mv(a, vec(est)[..., 0]))
+        p = jnp.maximum(p, eps)
+        return -jnp.sum(nr * jnp.log(p))
+
+    def grad_cost(est):
+        p = jnp.real(_mv(a, vec(est)[..., 0]))
+        p = jnp.maximum(p, eps)
+        eta = (nr / p).astype(cdtype)
+        return unvec(-_mv(dag(a), eta))
+
+    return cost, grad_cost, _mv
+
+
+def _warm_start_choi(a: jnp.ndarray, n: jnp.ndarray, dim: int, proj, _mv):
+    """CPTP projection of the (rescaled) linear-inversion estimate — the
+    shared warm start of both kernels. pinv(a) involves only the unbatched
+    A-matrix, so under vmap it is computed once per dispatch and amortized
+    over the whole batch."""
+    cdtype = a.dtype
+    x0 = _mv(jnp.linalg.pinv(a), n.astype(cdtype))
+    rho0 = unvec(x0)
+    rho0 = (rho0 + dag(rho0)) / 2
+    tr = jnp.real(jnp.trace(rho0))
+    rho0 = rho0 * (dim / jnp.where(jnp.abs(tr) < 1e-12, 1.0, tr)).astype(cdtype)
+    return proj(rho0)
 
 
 def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool,
@@ -418,26 +482,7 @@ def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: boo
     """
     cdtype = a.dtype
     rdtype = jnp.real(a).dtype
-    eps = jnp.asarray(1e-6, rdtype)
-    nr = n.astype(rdtype)
-
-    # the backtracking line search compares small cost differences, so these
-    # matvecs need full f32 precision explicitly (TPU matmul default is bf16
-    # passes); the rest of the kernel can stay at the ambient precision
-    def _mv(mat, v):
-        return jax.lax.dot_general(mat, v, (((1,), (0,)), ((), ())),
-                                   precision=jax.lax.Precision.HIGHEST)
-
-    def cost(est):
-        p = jnp.real(_mv(a, vec(est)[..., 0]))
-        p = jnp.maximum(p, eps)
-        return -jnp.sum(nr * jnp.log(p))
-
-    def grad_cost(est):
-        p = jnp.real(_mv(a, vec(est)[..., 0]))
-        p = jnp.maximum(p, eps)
-        eta = (nr / p).astype(cdtype)
-        return unvec(-_mv(dag(a), eta))
+    cost, grad_cost, _mv = _mle_cost_grad(a, n)
 
     mu = 3.0 / (2 * dim ** 2)
     gamma = 0.3
@@ -448,14 +493,7 @@ def _pgdb_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: boo
                                      cp_method=cp_method, ns_iters=ns_iters)
 
     if warm_start:
-        # CPTP projection of the (rescaled) linear-inversion estimate;
-        # pinv(a) is unbatched, so under vmap it amortizes over the batch
-        x0 = _mv(jnp.linalg.pinv(a), n.astype(cdtype))
-        rho0 = unvec(x0)
-        rho0 = (rho0 + dag(rho0)) / 2
-        tr = jnp.real(jnp.trace(rho0))
-        rho0 = rho0 * (dim / jnp.where(jnp.abs(tr) < 1e-12, 1.0, tr)).astype(cdtype)
-        est0 = proj(rho0)
+        est0 = _warm_start_choi(a, n, dim, proj, _mv)
     else:
         est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
 
@@ -526,23 +564,7 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
     """
     cdtype = a.dtype
     rdtype = jnp.real(a).dtype
-    eps = jnp.asarray(1e-6, rdtype)
-    nr = n.astype(rdtype)
-
-    def _mv(mat, v):
-        return jax.lax.dot_general(mat, v, (((1,), (0,)), ((), ())),
-                                   precision=jax.lax.Precision.HIGHEST)
-
-    def cost(est):
-        p = jnp.real(_mv(a, vec(est)[..., 0]))
-        p = jnp.maximum(p, eps)
-        return -jnp.sum(nr * jnp.log(p))
-
-    def grad_cost(est):
-        p = jnp.real(_mv(a, vec(est)[..., 0]))
-        p = jnp.maximum(p, eps)
-        eta = (nr / p).astype(cdtype)
-        return unvec(-_mv(dag(a), eta))
+    cost, grad_cost, _mv = _mle_cost_grad(a, n)
 
     mu = 3.0 / (2 * dim ** 2)
 
@@ -561,16 +583,7 @@ def _apg_kernel(a: jnp.ndarray, n: jnp.ndarray, dim: int, trace_preserving: bool
                 ns_iters=ns_iters)
 
     if warm_start:
-        # start from the CPTP projection of the (rescaled) linear-inversion
-        # estimate instead of the maximally-mixed Choi. pinv(a) involves only
-        # the unbatched A-matrix, so under vmap it is computed once per
-        # dispatch and amortized over the whole batch.
-        x0 = _mv(jnp.linalg.pinv(a), n.astype(cdtype))
-        rho0 = unvec(x0)
-        rho0 = (rho0 + dag(rho0)) / 2
-        tr = jnp.real(jnp.trace(rho0))
-        rho0 = rho0 * (dim / jnp.where(jnp.abs(tr) < 1e-12, 1.0, tr)).astype(cdtype)
-        est0 = proj(rho0)
+        est0 = _warm_start_choi(a, n, dim, proj, _mv)
     else:
         est0 = jnp.eye(dim * dim, dtype=cdtype) / dim
 

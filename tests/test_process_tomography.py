@@ -300,3 +300,35 @@ def test_host_api_apg_method():
     apg = np.asarray(pgdb_process_estimate(results, qubits, method="apg",
                                            maxiter=60))
     assert np.max(np.abs(pgdb - apg)) < 1e-3
+
+
+def test_process_estimators_respect_observable_coefficients():
+    """Scaling an observable by c scales its returned expectation by c (the
+    estimate_observables contract); the process estimators must divide the
+    coefficient back out like the state path does. Flipping a coefficient to
+    -1 with a correspondingly negated expectation is the same data, so the
+    estimates must be unchanged (they silently diverged before)."""
+    from dataclasses import replace
+    from forest_benchmarking_tpu.observable_estimation import ExperimentSetting
+    circuit = Circuit([RY(0.7, 0)])
+    qubits = [0]
+    qvm = QVM(seed=1)
+    expt = generate_process_tomography_experiment(circuit, qubits, "pauli")
+    results = list(wfn_estimate_observables(qvm, expt, qubits))
+
+    flipped = []
+    for i, r in enumerate(results):
+        if i % 2 == 0:
+            obs = r.setting.observable.copy(
+                coefficient=-1.0 * r.setting.observable.coefficient)
+            r = replace(r, setting=ExperimentSetting(r.setting.in_state, obs),
+                        expectation=-r.expectation)
+        flipped.append(r)
+
+    lin0 = np.asarray(linear_inv_process_estimate(results, qubits))
+    lin1 = np.asarray(linear_inv_process_estimate(flipped, qubits))
+    np.testing.assert_allclose(lin1, lin0, atol=1e-12)
+
+    est0 = np.asarray(pgdb_process_estimate(results, qubits))
+    est1 = np.asarray(pgdb_process_estimate(flipped, qubits))
+    np.testing.assert_allclose(est1, est0, atol=1e-8)
