@@ -285,7 +285,24 @@ class Circuit:
         return f"Circuit[{len(self.gates)} gates on {sorted(self.get_qubits())}]"
 
     def __eq__(self, other):
-        return isinstance(other, Circuit) and self.gates == other.gates
+        if not isinstance(other, Circuit):
+            return False
+        if self.gates != other.gates:
+            return False
+        # noise annotations change simulation semantics, so they are part of
+        # circuit identity (two equal gate lists with different channels
+        # produce different distributions)
+        if len(self.gate_noise) != len(other.gate_noise):
+            return False
+        for (n1, q1, k1), (n2, q2, k2) in zip(self.gate_noise,
+                                              other.gate_noise):
+            if n1 != n2 or q1 != q2 or not np.array_equal(k1, k2):
+                return False
+        if sorted(self.readout_confusion) != sorted(other.readout_confusion):
+            return False
+        return all(np.array_equal(self.readout_confusion[q],
+                                  other.readout_confusion[q])
+                   for q in self.readout_confusion)
 
     def out(self) -> str:
         """Textual form (used by experiment JSON serialization)."""

@@ -122,7 +122,7 @@ def _cols_perm(a, order):
     return jnp.concatenate([a[:, i:i + 1] for i in order], axis=1)
 
 
-def _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, sweeps):
+def _multi_sweep(a_r, a_i, v_r, v_i, eps, n, sweeps):
     """``sweeps`` cyclic-Jacobi sweeps on (n, n, *batch) planes, rotating A
     and V jointly. All movement is static slices + concatenate (Pallas TPU
     lowers neither gather nor scatter); rounds run in pair layout with
@@ -136,7 +136,6 @@ def _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, sweeps):
     ``sweeps=0`` is a no-op (used by the sweep-free warm CP projection,
     which reuses the carried eigenbasis verbatim).
     """
-    del rounds  # schedule derived from n (kept for call-site compatibility)
     if sweeps == 0:
         return a_r, a_i, v_r, v_i
     npairs = n // 2
@@ -226,9 +225,9 @@ def _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, sweeps):
     return a_r, a_i, v_r, v_i
 
 
-def _sweep(a_r, a_i, v_r, v_i, eps, rounds, n):
+def _sweep(a_r, a_i, v_r, v_i, eps, n):
     """One cyclic-Jacobi sweep (see :func:`_multi_sweep`)."""
-    return _multi_sweep(a_r, a_i, v_r, v_i, eps, rounds, n, 1)
+    return _multi_sweep(a_r, a_i, v_r, v_i, eps, n, 1)
 
 
 def _cmm(ar, ai, br, bi, n):
@@ -294,7 +293,7 @@ def _hermitianize(xr, xi):
     return (xr + jnp.swapaxes(xr, 0, 1)) / 2, (xi - jnp.swapaxes(xi, 0, 1)) / 2
 
 
-def _warm_cp(hr, hi, vr, vi, sweeps, rounds, n, eps):
+def _warm_cp(hr, hi, vr, vi, sweeps, n, eps):
     """CP projection with a carried eigenbasis: rotate H into the previous
     eigenbasis V, run ``sweeps`` Jacobi sweeps, clip negative eigenvalues,
     reconstruct. Returns (pos_r, pos_i, V'_r, V'_i)."""
@@ -302,7 +301,7 @@ def _warm_cp(hr, hi, vr, vi, sweeps, rounds, n, eps):
     # M = V^dag H V  (near-diagonal when V is warm)
     tr, ti = _cmm(hr, hi, vr, vi, n)
     mr, mi = _cmm_hconj_left(vr, vi, tr, ti, n)
-    ar, ai, wr, wi = _multi_sweep(mr, mi, vr, vi, eps, rounds, n, sweeps)
+    ar, ai, wr, wi = _multi_sweep(mr, mi, vr, vi, eps, n, sweeps)
     # eigenvalues on the diagonal; clip and reconstruct pos = W w+ W^dag
     if len(hr.shape) > 3:
         # Mosaic-safe row-wise form (no interior size-1 broadcasts): row i
@@ -415,7 +414,7 @@ def _proj_tp(xr, xi, dim):
         (x5i - ci).reshape(dim * dim, dim * dim, *bsh)
 
 
-def _dykstra(zr, zi, vr, vi, iters, sweeps, dim, rounds, eps,
+def _dykstra(zr, zi, vr, vi, iters, sweeps, dim, eps,
              sweeps_rest: int = None):
     """``iters`` Dykstra alternating-projection iterations (CP then TP) with
     the warm-V CP projection; ends on the TP half-step (exactly TP output).
@@ -442,8 +441,7 @@ def _dykstra(zr, zi, vr, vi, iters, sweeps, dim, rounds, eps,
         def body(_, carry):
             cp_ch_r, cp_ch_i, tp_ch_r, tp_ch_i, st_r, st_i, vr, vi = carry
             pre_r, pre_i = st_r - cp_ch_r, st_i - cp_ch_i
-            cp_r, cp_i, vr, vi = _warm_cp(pre_r, pre_i, vr, vi, s, rounds, n,
-                                          eps)
+            cp_r, cp_i, vr, vi = _warm_cp(pre_r, pre_i, vr, vi, s, n, eps)
             cp_ch_r, cp_ch_i = cp_r - pre_r, cp_i - pre_i
             pre_r, pre_i = cp_r - tp_ch_r, cp_i - tp_ch_i
             st_r, st_i = _proj_tp(pre_r, pre_i, dim)
@@ -558,7 +556,6 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
     :return: (est_r, est_i) planes of shape (d2, d2, B).
     """
     n = dim * dim
-    rounds = _round_robin_pairs(n)
     rdtype = ar.dtype
     batch = n_mat.shape[1:]          # any rank; (B,) classic, (S, 128) vreg
     n_flat = n_mat.reshape(n_mat.shape[0], -1)       # (R, flatB)
@@ -594,7 +591,7 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
 
     # warm start: Dykstra-project rho0 (first CP projection runs cold)
     est_r, est_i, v_r, v_i = _dykstra(rho0_r, rho0_i, v_r, v_i, init_iters,
-                                      init_sweeps, dim, rounds, eps_rot)
+                                      init_sweeps, dim, eps_rot)
     prev_r, prev_i = est_r, est_i
     t = jnp.ones((1, int(np.prod(batch))), rdtype)
     old_cost = cost(est_r, est_i)
@@ -619,7 +616,7 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
             z_r = y_r - inv_mu * g_r
             z_i = y_i - inv_mu * g_i
             cand_r, cand_i, v_r, v_i = _dykstra(z_r, z_i, v_r, v_i, ld,
-                                                sweeps, dim, rounds, eps_rot,
+                                                sweeps, dim, eps_rot,
                                                 sweeps_rest=srest)
             new_cost = cost(cand_r, cand_i)
             # O'Donoghue-Candes function restart
@@ -632,7 +629,7 @@ def apg_fused_lanes(ar, ai, n_mat, rho0_r, rho0_i, *, dim: int,
         est_r, est_i, prev_r, prev_i, v_r, v_i, t, old_cost = carry
 
     est_r, est_i, _, _ = _dykstra(est_r, est_i, v_r, v_i, final_iters,
-                                  final_sweeps, dim, rounds, eps_rot,
+                                  final_sweeps, dim, eps_rot,
                                   sweeps_rest=final_sweeps_rest)
     return est_r, est_i
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from forest_benchmarking_tpu.ops.lanes_apg import (
-    _multi_sweep, _round_robin_pairs)
+    _have_pallas, _multi_sweep, _round_robin_pairs)
 
 __all__ = ["round_robin_pairs", "cp_project_pallas", "jacobi_eigh_reference"]
 
@@ -39,9 +39,6 @@ def round_robin_pairs(n: int):
     return _round_robin_pairs(n)
 
 
-_ROUNDS = _round_robin_pairs(N)
-
-
 def _jacobi_pos_part(h_r, h_i, sweeps: int):
     """Positive part pos(H) = V relu(w) V^dag via Jacobi; (16, 16, B) layout."""
     b = h_r.shape[-1]
@@ -49,7 +46,7 @@ def _jacobi_pos_part(h_r, h_i, sweeps: int):
     eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-18, dtype)
     eye = jnp.broadcast_to(jnp.eye(N, dtype=dtype)[:, :, None], (N, N, b))
     a_r, a_i, v_r, v_i = _multi_sweep(h_r, h_i, eye, jnp.zeros_like(eye),
-                                      eps, _ROUNDS, N, sweeps)
+                                      eps, N, sweeps)
     w = jnp.stack([a_r[k, k] for k in range(N)])  # (16, B) eigenvalues
     wpos = jnp.maximum(w, 0.0)
     # pos[i, j] = sum_k V[i,k] wpos[k] conj(V[j,k])
@@ -65,15 +62,6 @@ def _jacobi_pos_part(h_r, h_i, sweeps: int):
         pos_r = pos_r + ar * br - ai * bi
         pos_i = pos_i + ar * bi + ai * br
     return pos_r, pos_i
-
-
-def _have_pallas() -> bool:
-    try:
-        from jax.experimental import pallas as pl  # noqa: F401
-        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
-        return jax.default_backend() != "cpu"
-    except Exception:  # noqa: BLE001
-        return False
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "block", "use_pallas"))

@@ -26,11 +26,6 @@ __all__ = [
 ]
 
 
-def _complex_dtype(dtype):
-    return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
-
-
-
 def _mm(*mats):
     """Chained matmul at full precision (TPU bf16 default corrupts samples)."""
     out = mats[0]

@@ -229,22 +229,31 @@ def choi2chi(choi: jnp.ndarray) -> jnp.ndarray:
                       precision=hi)
 
 
-def choi2kraus(choi: jnp.ndarray, tol: float = 1e-9) -> List[jnp.ndarray]:
+def choi2kraus(choi, tol: float = None) -> List[np.ndarray]:
     """Choi -> list of Kraus operators, dropping eigenvalues with |lambda| <= tol.
 
-    Host-side: the number of returned operators is data-dependent. For a jittable
-    fixed-size variant keep the full stack from eigh yourself.
+    Host-side (plain numpy — safe to call in a TPU process, where complex
+    device buffers cannot cross to the host): the number of returned operators
+    is data-dependent. For a jittable fixed-size variant keep the full stack
+    from eigh yourself.
+
+    ``tol`` defaults to the larger of the reference's 1e-9 and a dtype-aware
+    floor ``10 d eps |lambda|_max`` — in float32, eigh noise on a
+    rank-deficient Choi is ~1e-6 relative, so the fixed 1e-9 would emit up to
+    d^2 spurious operators for every unitary channel on the f32/c64 path.
     """
-    choi = jnp.asarray(choi)
+    choi = np.asarray(choi)
     if choi.ndim != 2:
         raise ValueError("choi2kraus is host-side and unbatched; vmap-unsafe by design.")
-    eigvals, v = jnp.linalg.eigh(choi)
-    eigvals = np.asarray(eigvals)
-    v = np.asarray(v)
+    eigvals, v = np.linalg.eigh(choi)
+    if tol is None:
+        tol = max(1e-9, 10 * choi.shape[-1] * np.finfo(eigvals.dtype).eps
+                  * float(np.max(np.abs(eigvals), initial=0.0)))
+    d = int(np.sqrt(choi.shape[-1]))
     # mirror np.lib.scimath.sqrt: negative eigenvalues give imaginary coefficients
     kraus = []
     for lam, evec in zip(eigvals, v.T):
         if abs(lam) > tol:
             coeff = np.sqrt(lam) if lam >= 0 else 1j * np.sqrt(-lam)
-            kraus.append(coeff * unvec(jnp.asarray(evec)))
+            kraus.append(coeff * evec.reshape(d, d).T)  # numpy unvec
     return kraus

@@ -9,11 +9,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from forest_benchmarking_tpu.ops.calculational import partial_trace
-from forest_benchmarking_tpu.ops.superoperator_transformations import choi2kraus, _stack_kraus
-from forest_benchmarking_tpu.ops.apply_superoperator import apply_choi_matrix_2_state
 from forest_benchmarking_tpu.ops.validate_operator import (
     is_hermitian_matrix, is_identity_matrix, is_positive_semidefinite_matrix)
+
+# NOTE: these predicates are deliberately plain numpy end to end. They are
+# host-side analysis helpers; routing them through jnp would create eager
+# complex device buffers on the default backend, which cannot be fetched
+# back on the axon TPU tunnel (CLAUDE.md).
 
 __all__ = [
     "kraus_operators_are_valid", "choi_is_hermitian_preserving",
@@ -24,7 +26,8 @@ __all__ = [
 
 def kraus_operators_are_valid(kraus_ops, rtol: float = 1e-05, atol: float = 1e-08) -> bool:
     """True iff the POVM elements K_i^dag K_i are PSD and sum to the identity."""
-    k = np.asarray(_stack_kraus(kraus_ops))
+    kraus_ops = np.asarray(kraus_ops)
+    k = kraus_ops[None] if kraus_ops.ndim == 2 else kraus_ops
     povm = np.einsum("nji,njk->nik", k.conj(), k)
     all_psd = all(is_positive_semidefinite_matrix(elem, rtol, atol) for elem in povm)
     return all_psd and is_identity_matrix(povm.sum(axis=0), rtol, atol)
@@ -39,7 +42,8 @@ def choi_is_trace_preserving(choi, rtol: float = 1e-05, atol: float = 1e-08) -> 
     """True iff Tr_out(choi) == I (eq. 3.33 of [GRAPTN])."""
     choi = np.asarray(choi)
     dim = int(np.sqrt(choi.shape[-1]))
-    pt = np.asarray(partial_trace(choi, keep=[0], dims=[dim, dim]))
+    r = choi.reshape(dim, dim, dim, dim)
+    pt = np.einsum("ikjk->ij", r)  # trace out H_out (second factor)
     return is_identity_matrix(pt, rtol, atol)
 
 
@@ -58,10 +62,18 @@ def choi_is_unital(choi, rtol: float = 1e-05, atol: float = 1e-08) -> bool:
     """True iff the channel maps the identity to itself."""
     choi = np.asarray(choi)
     dim = int(np.sqrt(choi.shape[-1]))
-    out = np.asarray(apply_choi_matrix_2_state(choi, np.eye(dim)))
+    r = choi.reshape(dim, dim, dim, dim)
+    out = np.einsum("ikil->kl", r)  # E(I) = Tr_in(choi)
     return is_identity_matrix(out, rtol, atol)
 
 
-def choi_is_unitary(choi, limit: float = 1e-09) -> bool:
-    """True iff the channel has exactly one non-negligible Kraus operator."""
+def choi_is_unitary(choi, limit: float = None) -> bool:
+    """True iff the channel has exactly one non-negligible Kraus operator.
+
+    ``limit`` defaults to choi2kraus's dtype-aware eigenvalue floor (the
+    reference's fixed 1e-9 misclassifies every unitary channel in float32,
+    where eigh noise on the rank-1 Choi is ~1e-6).
+    """
+    from forest_benchmarking_tpu.ops.superoperator_transformations import (
+        choi2kraus)
     return len(choi2kraus(choi, tol=limit)) == 1

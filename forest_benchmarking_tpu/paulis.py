@@ -49,13 +49,21 @@ class PauliTerm:
         else:
             items = ops
         clean = {}
+        seen = set()
         for q, op in items:
             op = op.upper()
+            if op not in ("I", "X", "Y", "Z"):
+                raise ValueError(f"Bad Pauli op '{op}'")
+            q = int(q)
+            if q in seen:
+                raise ValueError(
+                    f"Duplicate qubit {q} in PauliTerm factors (pyquil also "
+                    f"rejects this); multiply two PauliTerms to compose "
+                    f"operators on the same qubit")
+            seen.add(q)
             if op == "I":
                 continue
-            if op not in ("X", "Y", "Z"):
-                raise ValueError(f"Bad Pauli op '{op}'")
-            clean[int(q)] = op
+            clean[q] = op
         self._ops = tuple(sorted(clean.items()))
         self.coefficient = complex(coefficient)
 
@@ -178,21 +186,25 @@ def str_to_pauli_term(pauli_str: str, qubit_labels: Sequence[int] = None) -> Pau
     """'XY' on qubits [0, 1] -> X0*Y1 (reference utils.py:127)."""
     if qubit_labels is None:
         qubit_labels = list(range(len(pauli_str)))
+    if len(qubit_labels) != len(pauli_str):
+        raise ValueError(
+            f"{len(pauli_str)} Pauli factors need {len(pauli_str)} qubit "
+            f"labels, got {len(qubit_labels)} (zip would silently truncate)")
     return PauliTerm([(q, op) for op, q in zip(pauli_str, qubit_labels)])
 
 
 def all_traceless_pauli_terms(qubits: Sequence[int]) -> List[PauliTerm]:
     """All 4^n - 1 non-identity Pauli terms on the qubits (utils.py:146)."""
-    import itertools
-    strs = ["".join(x) for x in itertools.product("IXYZ", repeat=len(qubits))][1:]
-    return [str_to_pauli_term(s, qubits) for s in strs]
+    from forest_benchmarking_tpu.utils import all_traceless_pauli_strings
+    return [str_to_pauli_term(s, qubits)
+            for s in all_traceless_pauli_strings(len(qubits))]
 
 
 def all_traceless_pauli_choice_terms(qubits: Sequence[int], pauli_choice: str) -> List[PauliTerm]:
-    import itertools
-    strs = ["".join(x) for x in
-            itertools.product("I" + pauli_choice.upper(), repeat=len(qubits))][1:]
-    return [str_to_pauli_term(s, qubits) for s in strs]
+    from forest_benchmarking_tpu.utils import all_traceless_pauli_choice_strings
+    return [str_to_pauli_term(s, qubits)
+            for s in all_traceless_pauli_choice_strings(len(qubits),
+                                                        pauli_choice)]
 
 
 def all_traceless_pauli_z_terms(qubits: Sequence[int]) -> List[PauliTerm]:
@@ -204,7 +216,13 @@ def pauli_term_to_matrix(term: PauliTerm, qubits: Sequence[int]) -> np.ndarray:
 
     Mirrors pyquil's ``lifted_pauli`` except qubit order is explicit: the first
     qubit in ``qubits`` is the left-most (most significant) tensor factor.
+    Like ``lifted_pauli``, factors on qubits outside ``qubits`` are an error
+    (silently dropping them would return the wrong operator).
     """
+    extra = set(term.get_qubits()) - set(qubits)
+    if extra:
+        raise ValueError(f"Pauli term {term} acts on qubit(s) "
+                         f"{sorted(extra)} outside the qubit list {list(qubits)}")
     mat = np.array([[1.0 + 0j]])
     for q in qubits:
         mat = np.kron(mat, PAULI_MATS[term[q]])

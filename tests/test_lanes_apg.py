@@ -12,8 +12,7 @@ import jax.numpy as jnp
 from forest_benchmarking_tpu.benchmarks import (process_tomo_A_matrix,
                                                 synth_process_datasets)
 from forest_benchmarking_tpu.ops.lanes_apg import (
-    apg_fused, apg_fused_lanes, raster_a_matrix, _proj_tp, _warm_cp,
-    _round_robin_pairs)
+    apg_fused, apg_fused_lanes, raster_a_matrix, _proj_tp, _warm_cp)
 from forest_benchmarking_tpu.ops.superoperator_transformations import vec
 from forest_benchmarking_tpu.tomography import pgdb_process_estimate_batched
 from oracles import np_proj_cp, np_proj_tp
@@ -45,9 +44,8 @@ def test_warm_cp_cold_matches_eigh_positive_part(rng):
     h = _rand_herm_batch(rng, 16, 3)
     hr, hi = _to_lanes(h)
     eye = jnp.broadcast_to(jnp.eye(16)[:, :, None], (16, 16, 3)).astype(hr.dtype)
-    rounds = _round_robin_pairs(16)
     pos_r, pos_i, _, _ = _warm_cp(hr, hi, eye, jnp.zeros_like(eye), 10,
-                                  rounds, 16, jnp.asarray(1e-30))
+                                  16, jnp.asarray(1e-30))
     out = _from_lanes(pos_r, pos_i)
     want = np.stack([np_proj_cp(h[i]) for i in range(3)])
     np.testing.assert_allclose(out, want, atol=1e-10)
@@ -59,17 +57,16 @@ def test_warm_cp_warm_basis_single_sweep(rng):
     h = _rand_herm_batch(rng, 16, 2)
     hr, hi = _to_lanes(h)
     eye = jnp.broadcast_to(jnp.eye(16)[:, :, None], (16, 16, 2)).astype(hr.dtype)
-    rounds = _round_robin_pairs(16)
-    _, _, vr, vi = _warm_cp(hr, hi, eye, jnp.zeros_like(eye), 10, rounds, 16,
+    _, _, vr, vi = _warm_cp(hr, hi, eye, jnp.zeros_like(eye), 10, 16,
                             jnp.asarray(1e-30))
     h2 = h + 1e-3 * _rand_herm_batch(rng, 16, 2)
     h2r, h2i = _to_lanes(h2)
     want = np.stack([np_proj_cp(h2[i]) for i in range(2)])
     eps = jnp.asarray(1e-30)
-    pos_r, pos_i, _, _ = _warm_cp(h2r, h2i, vr, vi, 1, rounds, 16, eps)
+    pos_r, pos_i, _, _ = _warm_cp(h2r, h2i, vr, vi, 1, 16, eps)
     warm_err = np.max(np.abs(_from_lanes(pos_r, pos_i) - want))
     cold_r, cold_i, _, _ = _warm_cp(h2r, h2i, eye, jnp.zeros_like(eye), 1,
-                                    rounds, 16, eps)
+                                    16, eps)
     cold_err = np.max(np.abs(_from_lanes(cold_r, cold_i) - want))
     # the carried eigenbasis makes a single sweep dramatically more accurate
     assert warm_err < 1e-4

@@ -176,3 +176,25 @@ def test_choi_predicates():
     assert choi_is_cptp(choi_ad)
     assert not choi_is_unital(choi_ad)
     assert not choi_is_unitary(choi_ad)
+
+
+def test_choi2kraus_f32_unitary_channel_rank1():
+    """In float32, eigh noise on a rank-1 Choi is ~1e-6 — far above the
+    reference's fixed 1e-9 cut. The dtype-aware default must still return
+    exactly ONE Kraus operator for a unitary channel, and choi_is_unitary
+    must classify it correctly."""
+    import jax
+    from forest_benchmarking_tpu.ops.superoperator_transformations import (
+        kraus2choi, choi2kraus)
+    from forest_benchmarking_tpu.ops.validate_superoperator import (
+        choi_is_unitary)
+    from forest_benchmarking_tpu.ops.random_operators import haar_rand_unitary
+    u = np.asarray(haar_rand_unitary(jax.random.PRNGKey(5), 4)).astype(
+        np.complex64)
+    choi = np.asarray(kraus2choi(jnp.asarray(u)[None])).astype(np.complex64)
+    ks = choi2kraus(choi)
+    assert len(ks) == 1
+    assert choi_is_unitary(choi)
+    # the recovered operator matches u up to global phase
+    k = ks[0] / np.exp(1j * np.angle(ks[0][0, 0] / u[0, 0]))
+    np.testing.assert_allclose(k, u, atol=1e-5)

@@ -185,3 +185,31 @@ def test_prepare_random_prod_pauli_eigenstate():
         assert np.isclose(abs(ex), 1.0, atol=1e-10)
         seen.add(round(float(ex)))
     assert seen == {-1, 1}  # both signs appear across draws
+
+
+def test_pauli_strictness_guards():
+    """Silent-wrong-answer inputs now raise: duplicate qubits in a factor
+    list, length-mismatched string/labels, and factors outside the qubit
+    list of pauli_term_to_matrix (pyquil raises in all three cases)."""
+    from forest_benchmarking_tpu.paulis import (PauliTerm, str_to_pauli_term,
+                                                pauli_term_to_matrix, sX, sY)
+    with pytest.raises(ValueError, match="Duplicate"):
+        PauliTerm.from_list([("X", 0), ("Y", 0)])
+    with pytest.raises(ValueError, match="labels"):
+        str_to_pauli_term("XYZ", [0, 1])
+    with pytest.raises(ValueError, match="outside"):
+        pauli_term_to_matrix(sX(0) * sY(5), [0, 1])
+
+
+def test_circuit_equality_includes_noise_annotations():
+    from forest_benchmarking_tpu.circuits import Circuit, X
+    kraus = np.stack([np.sqrt(0.9) * np.eye(2),
+                      np.sqrt(0.1) * np.array([[0, 1], [1, 0]])]).astype(complex)
+    c1 = Circuit([X(0)])
+    c2 = Circuit([X(0)])
+    assert c1 == c2
+    c2.define_noisy_gate("X", None, kraus)
+    assert c1 != c2
+    c3 = Circuit([X(0)])
+    c3.define_noisy_readout(0, p00=0.95, p11=0.9)
+    assert c1 != c3
