@@ -188,7 +188,7 @@ def config5_quantum_volume(depth=8, num_circuits=1600, shots=1000):
                       num_shots=shots, dtype=DT)
 
     num_heavy, dt = timed(step, jax.random.PRNGKey(4))
-    prob = int(num_heavy) / (num_circuits * shots)
+    prob = int(np.asarray(num_heavy).sum()) / (num_circuits * shots)
     return {
         "metric": f"qv_depth{depth}_heavy_output_sim_throughput",
         "value": round(num_circuits / dt, 2), "unit": "circuits/sec",
@@ -227,7 +227,8 @@ def config5_noisy_quantum_volume(depth=4, num_circuits=800, shots=1000,
         "value": round(num_circuits / dt, 2), "unit": "circuits/sec",
         "vs_baseline": None, "num_circuits": num_circuits,
         "depolarizing_p": depol_p,
-        "heavy_output_prob": round(int(num_heavy) / (num_circuits * shots), 4),
+        "heavy_output_prob": round(
+            int(np.asarray(num_heavy).sum()) / (num_circuits * shots), 4),
     }
     if noisy_method != "auto":
         out["noisy_method"] = noisy_method

@@ -58,7 +58,9 @@ def generate_abstract_qv_circuit(depth: int,
     num_gates_per_layer = depth // 2
     # host-side Haar samples (tiny); use numpy QR with phase fix
     def haar4():
-        z = rng.randn(4, 4) + 1j * rng.randn(4, 4)
+        # standard_normal exists on np.random, RandomState AND Generator
+        # (randn does not exist on Generator)
+        z = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
         q, r = np.linalg.qr(z)
         lam = np.diagonal(r) / np.abs(np.diagonal(r))
         return q * lam
@@ -74,12 +76,18 @@ def collect_heavy_outputs(depth: int, permutations: Sequence[np.ndarray],
     Simulates the model circuit with the in-process statevector engine
     (replacing NumpyWavefunctionSimulator; same qubit-0-leftmost ordering).
     """
-    psi = jnp.zeros((2,) * depth, dtype=jnp.complex128).at[(0,) * depth].set(1.0)
+    # plain numpy on the host (dim <= 2^8): eager jnp here would compile a
+    # tiny program per gate on the axon backend and end with an UNIMPLEMENTED
+    # complex device->host fetch
+    psi = np.zeros((2,) * depth, dtype=complex)
+    psi[(0,) * depth] = 1.0
     for perm, layer in zip(permutations, gates):
         for gate_idx, gate in enumerate(layer):
-            psi = apply_gate_matrix(psi, jnp.asarray(gate, jnp.complex128),
-                                    (int(perm[gate_idx]), int(perm[gate_idx + 1])))
-    probabilities = np.abs(np.asarray(psi).reshape(-1)) ** 2
+            axes = (int(perm[gate_idx]), int(perm[gate_idx + 1]))
+            g = np.asarray(gate, complex).reshape(2, 2, 2, 2)
+            psi = np.tensordot(g, psi, axes=([2, 3], list(axes)))
+            psi = np.moveaxis(psi, [0, 1], list(axes))
+    probabilities = np.abs(psi.reshape(-1)) ** 2
     median_prob = median(probabilities)
     return [idx for idx, prob in enumerate(probabilities) if prob > median_prob]
 
@@ -471,14 +479,20 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
         -> jnp.ndarray:
     """One jit: sample circuits, find heavy sets, sample shots, count heavies.
 
-    Returns the scalar total number of heavy outputs sampled across all
-    circuits (int32). Without ``kraus`` this is the ideal-device path: shots
+    Returns the per-circuit heavy-output counts as a (num_circuits,) int32
+    array — an ARRAY, not a scalar, because in-jit scalar reductions of
+    large programs can fetch the wrong buffer over the axon tunnel
+    (CLAUDE.md); sum on the host. Without ``kraus`` this is the ideal-device
+    path: shots
     are drawn from the exact output distribution, so the heavy-output
     probability estimate converges to the ideal (0.85-ish asymptote
     (1+ln2)/2) at large depth.
 
-    With ``kraus`` — a (K, 4, 4) two-qubit Kraus stack applied after every
-    Haar gate on its qubit pair — shots are drawn from the NOISY output
+    With ``kraus`` — a two-qubit Kraus stack applied after every Haar gate
+    on its qubit pair, passed either complex (K, 4, 4) or as float real/imag
+    planes (2, K, 4, 4) (the only transportable form on the axon TPU tunnel,
+    which cannot move complex arrays host->device) — shots are drawn from
+    the NOISY output
     distribution, while the heavy sets still come from the ideal circuit,
     exactly as the per-circuit QVM path defines QV for noisy devices
     (reference quantum_volume.py:94-118,154-208). Three noisy kernels:
@@ -557,7 +571,7 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
                 shape=(num_circuits, t, shots_per_traj))
             sampled_heavy = jnp.take_along_axis(
                 heavy, samples.reshape(num_circuits, -1), axis=1)
-            return jnp.sum(sampled_heavy.astype(jnp.int32))
+            return jnp.sum(sampled_heavy.astype(jnp.int32), axis=1)
         if depth >= 6:
             # lifted-matrix form: fast to compile, MXU matmuls (see
             # _simulate_qv_circuit_density_lifted)
@@ -576,7 +590,7 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
     samples = jax.random.categorical(ks, logits[:, None, :], axis=-1,
                                      shape=(num_circuits, num_shots))
     sampled_heavy = jnp.take_along_axis(heavy, samples, axis=1)
-    return jnp.sum(sampled_heavy.astype(jnp.int32))
+    return jnp.sum(sampled_heavy.astype(jnp.int32), axis=1)
 
 
 def _sample_perms(key, num_circuits: int, depth: int) -> jnp.ndarray:
@@ -603,6 +617,13 @@ def measure_quantum_volume_batched(key=None, max_depth: int = 8,
     tune the noisy kernel (see :func:`sample_heavy_outputs_batched`)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    if kraus is not None:
+        kraus = np.asarray(kraus)
+        if np.iscomplexobj(kraus):
+            # float-plane transport: complex arrays cannot cross the axon
+            # host->device boundary
+            kraus = np.stack([kraus.real, kraus.imag]).astype(
+                np.float32 if dtype == jnp.float32 else np.float64)
     results = {}
     sample_jit = jax.jit(sample_heavy_outputs_batched,
                          static_argnames=("depth", "num_circuits", "num_shots",
@@ -610,10 +631,12 @@ def measure_quantum_volume_batched(key=None, max_depth: int = 8,
                                           "num_trajectories"))
     for depth in range(2, max_depth + 1):
         key, sub = jax.random.split(key)
-        num_heavy = int(sample_jit(sub, depth=depth, num_circuits=num_circuits,
-                                   num_shots=num_shots, dtype=dtype,
-                                   kraus=kraus, noisy_method=noisy_method,
-                                   num_trajectories=num_trajectories))
+        # per-circuit counts come back as an int array; reduce on host
+        num_heavy = int(np.asarray(sample_jit(
+            sub, depth=depth, num_circuits=num_circuits,
+            num_shots=num_shots, dtype=dtype, kraus=kraus,
+            noisy_method=noisy_method,
+            num_trajectories=num_trajectories)).sum())
         prob, conf = calculate_prob_est_and_err(num_heavy, num_circuits,
                                                 num_shots)
         results[depth] = (prob, conf)

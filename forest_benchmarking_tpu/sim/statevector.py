@@ -72,6 +72,5 @@ def statevector_probabilities(circuit: Circuit, qubits: Sequence[int],
 
 def all_bitstrings(n: int) -> np.ndarray:
     """(2**n, n) array of bitstrings in integer order (first column = MSB)."""
-    ints = np.arange(2 ** n)
-    shifts = np.arange(n - 1, -1, -1)
-    return ((ints[:, None] >> shifts) & 1).astype(np.int64)
+    from forest_benchmarking_tpu.utils import ints_to_bit_arrays
+    return ints_to_bit_arrays(np.arange(2 ** n), n)

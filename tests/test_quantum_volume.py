@@ -60,9 +60,13 @@ def test_batched_simulation_matches_host_sim():
     assert hh_host == hh_batched
 
 
+def _total(*args, **kwargs):
+    """Host-side sum of the per-circuit heavy counts array."""
+    return np.asarray(sample_heavy_outputs_batched(*args, **kwargs)).sum()
+
 def test_sample_heavy_outputs_batched_runs():
     key = jax.random.PRNGKey(0)
-    num_heavy = int(sample_heavy_outputs_batched(key, depth=3, num_circuits=50,
+    num_heavy = int(_total(key, depth=3, num_circuits=50,
                                                  num_shots=200,
                                                  dtype=jnp.float64))
     prob = num_heavy / (50 * 200)
@@ -240,13 +244,13 @@ def test_trajectory_heavy_counts_match_density_path():
     depth, circuits, shots = 4, 40, 200
     total = circuits * shots
     key = jax.random.PRNGKey(9)
-    n_dens = int(sample_heavy_outputs_batched(
+    n_dens = int(_total(
         key, depth=depth, num_circuits=circuits, num_shots=shots,
         kraus=two_q, noisy_method="density"))
-    n_traj = int(sample_heavy_outputs_batched(
+    n_traj = int(_total(
         key, depth=depth, num_circuits=circuits, num_shots=shots,
         kraus=two_q, noisy_method="trajectory"))
-    n_traj_split = int(sample_heavy_outputs_batched(
+    n_traj_split = int(_total(
         key, depth=depth, num_circuits=circuits, num_shots=shots,
         kraus=two_q, noisy_method="trajectory", num_trajectories=50))
     # p ~ 0.7-0.8; 4-sigma binomial window on the difference
