@@ -43,6 +43,7 @@ def process_tomo_A_matrix(n_qubits: int) -> np.ndarray:
     (input eigenstate, observable) setting; p = A vec(choi) gives outcome
     probabilities. Host-cached; ship to device as split_complex.
     """
+    from forest_benchmarking_tpu.tomography import pgdb_a_row_pair
     qubits = list(range(n_qubits))
     dim = 2 ** n_qubits
     eye = np.eye(dim)
@@ -50,9 +51,7 @@ def process_tomo_A_matrix(n_qubits: int) -> np.ndarray:
     for setting in _pauli_process_tomo_settings(qubits):
         in_mat = state_to_density(setting.in_state, qubits)
         op = pauli_term_to_matrix(setting.observable.copy(coefficient=1.0), qubits)
-        for sign in (1, -1):
-            proj = (eye + sign * op) / 2
-            rows.append(np.kron(in_mat, proj.T).T.reshape(-1))  # numpy vec
+        rows.extend(pgdb_a_row_pair(in_mat, op, eye))
     return np.stack(rows) / dim ** 2
 
 
@@ -70,7 +69,10 @@ def synth_process_datasets(key, a: jnp.ndarray, dim: int, batch: int,
     kc, ks = jax.random.split(key)
     chois = rand_map_with_BCSZ_dist(kc, dim, kraus_rank, batch=(batch,),
                                     dtype=dtype)
-    p = jnp.real(jnp.einsum("ra,ba->br", a, vec(chois)[..., 0]))
+    # ground-truth probabilities must not depend on the ambient matmul
+    # precision config (TPU default is bf16 passes)
+    p = jnp.real(jnp.einsum("ra,ba->br", a, vec(chois)[..., 0],
+                            precision=jax.lax.Precision.HIGHEST))
     p = jnp.clip(p, 0.0, 1.0)
     pp = p[:, 0::2]
     pm = p[:, 1::2]

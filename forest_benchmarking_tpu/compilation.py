@@ -109,10 +109,26 @@ def basic_compile(program: Circuit) -> Circuit:
 
     Custom-matrix gates pass through unchanged (the analog of DEFGATE handling).
     DAGGER modifiers are folded into negated angles / reversed decompositions.
+
+    Gates that carry a matching ``define_noisy_gate`` annotation also pass
+    through unchanged: decomposing them would rename the gate and silently
+    sever the Kraus channel keyed on it (the in-process simulator runs any
+    named gate directly, so skipping the rewrite is semantically exact —
+    a deviation from the reference, whose compiled programs go to a QVM that
+    only applies noise to native gates).
     """
     new = Circuit(gate_noise=list(program.gate_noise),
                   readout_confusion=dict(program.readout_confusion))
+
+    def _carries_noise(inst):
+        return any(
+            name == inst.name and (qs is None or tuple(qs) == tuple(inst.qubits))
+            for name, qs, _ in program.gate_noise)
+
     for inst in program.gates:
+        if _carries_noise(inst):
+            new += inst
+            continue
         needs_dagger = inst.dagger
         angle = None
         if inst.params:

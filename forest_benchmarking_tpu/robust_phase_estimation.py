@@ -295,7 +295,12 @@ def robust_phase_estimate(results: List[List[ExperimentResult]],
                             for res, i_res in zip(ress, i_results)])
             expectations.append(label_series)
 
-        if len(expectations) == 0:
+        if len(expectations) != 2:
+            # X or Y moment series missing for this qubit (truncated or
+            # filtered results) -> no phase estimate is possible. The
+            # reference unpacks unconditionally and crashes with an opaque
+            # ValueError on the same input (:512-516); skipping is the
+            # documented deviation.
             continue
         x_series, y_series = expectations
         for xp, yp in zip(x_series, y_series):

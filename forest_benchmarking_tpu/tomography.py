@@ -393,6 +393,20 @@ def linear_inv_process_estimate(results: List[ExperimentResult],
     return unvec(choi_vec) + jnp.eye(dim ** 2) / dim
 
 
+def pgdb_a_row_pair(in_mat: np.ndarray, op: np.ndarray,
+                    eye: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(+ row, - row) of the PGDB A-matrix (eq. A1 of [PGD]) for one
+    (input state, coefficient-1 observable) setting, in this repo's
+    column-stacking vec convention. The single source of the row layout —
+    shared by :func:`_extract_from_results` and
+    ``benchmarks.process_tomo_A_matrix`` so the bench A-matrix can never
+    drift from the estimator's."""
+    proj_plus = (eye + op) / 2
+    proj_minus = (eye - op) / 2
+    return (np.kron(in_mat, proj_plus.T).T.reshape(-1),   # numpy vec
+            np.kron(in_mat, proj_minus.T).T.reshape(-1))
+
+
 def _extract_from_results(results: List[ExperimentResult], qubits: List[int]):
     """Build (A, n): p = A vec(E) casts outcome probabilities linearly in the
     Choi matrix E (eq. A1 of [PGD]); n are normalized observed counts."""
@@ -405,10 +419,9 @@ def _extract_from_results(results: List[ExperimentResult], qubits: List[int]):
         in_mat = state_to_density(result.setting.in_state, qubits)
         op = pauli_term_to_matrix(result.setting.observable.copy(coefficient=1.0),
                                   qubits)
-        proj_plus = (eye + op) / 2
-        proj_minus = (eye - op) / 2
-        a_rows.append(np.kron(in_mat, proj_plus.T).T.reshape(-1))  # numpy vec
-        a_rows.append(np.kron(in_mat, proj_minus.T).T.reshape(-1))
+        row_plus, row_minus = pgdb_a_row_pair(in_mat, op, eye)
+        a_rows.append(row_plus)
+        a_rows.append(row_minus)
         # projectors above use the coefficient-1 Pauli; expectations are
         # coeff * <P>, so divide the coefficient out before splitting counts
         coeff = np.real(complex(result.setting.observable.coefficient))

@@ -81,3 +81,25 @@ def test_is_magic_angle():
     assert is_magic_angle(-np.pi)
     assert is_magic_angle(0.0)
     assert not is_magic_angle(0.3)
+
+
+def test_basic_compile_preserves_noise_annotated_gates():
+    """A gate carrying a define_noisy_gate channel must NOT be decomposed:
+    renaming it severs the Kraus annotation, silently simulating the
+    noiseless circuit (caught in the process-tomography notebook, where the
+    'noisy' RY tomographed as ideal)."""
+    import jax.numpy as jnp
+    from forest_benchmarking_tpu.circuits import Circuit, RY
+    from forest_benchmarking_tpu.sim.noise import damping_kraus_map
+    from forest_benchmarking_tpu.sim.density import run_density_matrix
+
+    noisy = Circuit([RY(0.6, 0)])
+    noisy.define_noisy_gate("RY", (0,), damping_kraus_map(0.3))
+    compiled = basic_compile(noisy)
+    assert any(g.name == "RY" for g in compiled.gates)
+    rho_orig = np.asarray(run_density_matrix(noisy, [0], jnp.complex128))
+    rho_comp = np.asarray(run_density_matrix(compiled, [0], jnp.complex128))
+    np.testing.assert_allclose(rho_comp, rho_orig, atol=1e-12)
+    # gates without annotations still decompose
+    plain = basic_compile(Circuit([RY(0.6, 0)]))
+    assert all(g.name in ("RX", "RZ") for g in plain.gates)
