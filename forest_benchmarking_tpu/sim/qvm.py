@@ -110,6 +110,7 @@ class QVM:
 
     def _cached_jit(self, key_head: tuple, circuit: Circuit, impl):
         key = (key_head, _circuit_value_key(circuit), self.noisy,
+               jnp.dtype(self.dtype).name,
                tuple(sorted(self.t1s.items())),
                tuple(sorted(self.t2s.items())))
         fn = self._jit_cache.get(key)
@@ -118,6 +119,8 @@ class QVM:
             if len(self._jit_cache) >= 256:
                 self._jit_cache.popitem(last=False)
             self._jit_cache[key] = fn
+        else:
+            self._jit_cache.move_to_end(key)  # LRU, not FIFO
         return fn
 
     # ---- PRNG plumbing ----
