@@ -258,3 +258,29 @@ def test_decoherence_kraus_drops_zero_operators():
         tp = sum(k.conj().T @ k for k in ks)
         np.testing.assert_allclose(tp, np.eye(2), atol=1e-12)
         assert all(np.abs(k).max() > 0 for k in ks)
+
+
+def test_qvm_jit_cache_dtype_key_and_lru():
+    """The jit cache retraces on dtype changes and evicts least-recently-USED
+    (a hit refreshes the entry), not first-inserted."""
+    from forest_benchmarking_tpu.circuits import Circuit, X
+
+    qvm = QVM(seed=0, dtype=jnp.complex64)
+    circ = Circuit([X(0)])
+    f1 = qvm._cached_jit(("probs", (0,)), circ, lambda: None)
+    # same key -> cache hit
+    assert qvm._cached_jit(("probs", (0,)), circ, lambda: None) is f1
+    # dtype change -> different key, fresh program
+    qvm.dtype = jnp.complex128
+    f2 = qvm._cached_jit(("probs", (0,)), circ, lambda: None)
+    assert f2 is not f1
+    # LRU: touch f1's key again, then fill the cache; the untouched f2 entry
+    # must be evicted first even though f1's was inserted earlier
+    qvm.dtype = jnp.complex64
+    assert qvm._cached_jit(("probs", (0,)), circ, lambda: None) is f1
+    for i in range(254):
+        qvm._cached_jit(("probs", (i + 1,)), circ, lambda: None)
+    qvm._cached_jit(("probs", (999,)), circ, lambda: None)  # evicts one
+    assert qvm._cached_jit(("probs", (0,)), circ, lambda: None) is f1
+    qvm.dtype = jnp.complex128
+    assert qvm._cached_jit(("probs", (0,)), circ, lambda: None) is not f2
