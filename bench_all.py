@@ -103,8 +103,8 @@ def config1_state_tomo(batch=32768, shots=2000):
         "metric": "1q_state_tomography_lininv_plus_mle_throughput",
         "value": round(batch / dt, 2), "unit": "solves/sec",
         "vs_baseline": None, "batch": batch,
-        "mean_fidelity_lin": round(float(jnp.mean(f_lin)), 5),
-        "mean_fidelity_mle": round(float(jnp.mean(f_mle)), 5),
+        "mean_fidelity_lin": round(float(np.mean(f_lin)), 5),
+        "mean_fidelity_mle": round(float(np.mean(f_mle)), 5),
     }
 
 
@@ -140,8 +140,8 @@ def config3_rb_fits(batch=8192, n_depths=8, shots=500):
     return {
         "metric": "rb_decay_fit_throughput", "value": round(batch / dt, 2),
         "unit": "fits/sec", "vs_baseline": None, "batch": batch,
-        "mean_decay_error": round(float(jnp.mean(errs)), 5),
-        "max_decay_error": round(float(jnp.max(errs)), 5),
+        "mean_decay_error": round(float(np.mean(errs)), 5),
+        "max_decay_error": round(float(np.max(errs)), 5),
     }
 
 
@@ -173,7 +173,7 @@ def config4_dfe_distances(batch=1024, dnorm_batch=512):
         "value": round(batch / dt_dist, 2), "unit": "channel-pairs/sec",
         "vs_baseline": None, "batch": batch,
         "diamond_norms_per_sec": round(dnorm_batch / dt_dnorm, 2),
-        "mean_diamond_norm": round(float(jnp.mean(dn)), 4),
+        "mean_diamond_norm": round(float(np.mean(dn)), 4),
     }
 
 

@@ -40,7 +40,8 @@ log = logging.getLogger(__name__)
 __all__ = [
     "generate_abstract_qv_circuit", "collect_heavy_outputs",
     "abstract_circuit_to_circuit", "sample_rand_circuits_for_heavy_out",
-    "sample_heavy_outputs_batched", "calculate_prob_est_and_err",
+    "sample_heavy_outputs_batched", "sample_heavy_outputs_sharded",
+    "calculate_prob_est_and_err",
     "topology_restricted_program_generator",
     "measure_quantum_volume", "measure_quantum_volume_batched",
     "count_heavy_hitters_sampled", "get_prob_sample_heavy_by_depth",
@@ -591,6 +592,48 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
                                      shape=(num_circuits, num_shots))
     sampled_heavy = jnp.take_along_axis(heavy, samples, axis=1)
     return jnp.sum(sampled_heavy.astype(jnp.int32), axis=1)
+
+
+def sample_heavy_outputs_sharded(key, mesh, depth: int, num_circuits: int,
+                                 num_shots: int, axis_name: str = "batch",
+                                 **kw) -> jnp.ndarray:
+    """:func:`sample_heavy_outputs_batched` with circuits sharded over a mesh.
+
+    QV heavy-output sampling is embarrassingly parallel in the circuit axis,
+    so the multi-chip path is ``shard_map`` over a 1-D batch mesh
+    (``parallel.make_mesh()``): each device folds its mesh position into the
+    PRNG key and runs the full single-chip kernel (the fused Pallas
+    trajectory kernel on TPU for ``noisy_method="trajectory"``) on
+    ``num_circuits / n_devices`` circuits. No collectives appear — the
+    gathered output is the per-circuit heavy counts of a ``num_circuits``
+    experiment, exactly as if each shard had been run on its own chip with
+    ``fold_in(key, shard_index)`` (tested bit-exact on the virtual mesh).
+
+    :param key: PRNG key (replicated; per-device streams are derived).
+    :param mesh: 1-D ``jax.sharding.Mesh`` whose ``axis_name`` axis shards
+        the circuit batch; its size must divide ``num_circuits``.
+    :param kw: forwarded to :func:`sample_heavy_outputs_batched`
+        (``dtype``, ``kraus``, ``noisy_method``, ``num_trajectories``).
+    :return: (num_circuits,) int32 per-circuit heavy counts; sum on the host
+        (in-jit scalar reductions can fetch the wrong buffer on the tunnel).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis_name]
+    if num_circuits % n_dev != 0:
+        raise ValueError(f"num_circuits ({num_circuits}) must be divisible "
+                         f"by the mesh axis {axis_name!r} size {n_dev}")
+    per_dev = num_circuits // n_dev
+
+    def shard(k):
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        return sample_heavy_outputs_batched(
+            k, depth=depth, num_circuits=per_dev, num_shots=num_shots, **kw)
+
+    # check_vma=False: the folded key is shard-varying by construction while
+    # kraus closures stay replicated; there are no collectives inside.
+    return jax.shard_map(shard, mesh=mesh, in_specs=P(),
+                         out_specs=P(axis_name), check_vma=False)(key)
 
 
 def _sample_perms(key, num_circuits: int, depth: int) -> jnp.ndarray:

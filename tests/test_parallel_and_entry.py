@@ -87,3 +87,48 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+def test_sharded_qv_matches_per_shard_streams():
+    """sample_heavy_outputs_sharded == concatenating single-chip runs with
+    fold_in(key, shard_index) — bit-exact on the virtual mesh, ideal and
+    noisy-trajectory paths."""
+    from forest_benchmarking_tpu.quantum_volume import (
+        sample_heavy_outputs_batched, sample_heavy_outputs_sharded)
+    from forest_benchmarking_tpu.sim.noise import depolarizing_kraus_map
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    key = jax.random.PRNGKey(11)
+    depth, per_dev, shots = 4, 5, 64
+
+    got = np.asarray(sample_heavy_outputs_sharded(
+        key, mesh, depth=depth, num_circuits=per_dev * n_dev,
+        num_shots=shots, dtype=jnp.float32))
+    want = np.concatenate([
+        np.asarray(sample_heavy_outputs_batched(
+            jax.random.fold_in(key, d), depth=depth, num_circuits=per_dev,
+            num_shots=shots, dtype=jnp.float32))
+        for d in range(n_dev)])
+    np.testing.assert_array_equal(got, want)
+
+    ks = depolarizing_kraus_map(0.05)
+    two_q = np.stack([np.kron(a, b) for a in ks for b in ks])
+    kraus_ri = jnp.asarray(np.stack([two_q.real, two_q.imag])
+                           .astype(np.float32))
+    got = np.asarray(sample_heavy_outputs_sharded(
+        key, mesh, depth=depth, num_circuits=per_dev * n_dev,
+        num_shots=shots, dtype=jnp.float32, kraus=kraus_ri,
+        noisy_method="trajectory", num_trajectories=16))
+    want = np.concatenate([
+        np.asarray(sample_heavy_outputs_batched(
+            jax.random.fold_in(key, d), depth=depth, num_circuits=per_dev,
+            num_shots=shots, dtype=jnp.float32, kraus=kraus_ri,
+            noisy_method="trajectory", num_trajectories=16))
+        for d in range(n_dev)])
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(ValueError, match="divisible"):
+        sample_heavy_outputs_sharded(key, mesh, depth=depth,
+                                     num_circuits=n_dev * 2 + 1,
+                                     num_shots=shots)
