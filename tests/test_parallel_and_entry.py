@@ -132,3 +132,28 @@ def test_sharded_qv_matches_per_shard_streams():
         sample_heavy_outputs_sharded(key, mesh, depth=depth,
                                      num_circuits=n_dev * 2 + 1,
                                      num_shots=shots)
+
+
+def test_batch_sharded_rb_simulation_matches_single_device():
+    """The generic batch_sharded helper composes with the RB PTM simulator:
+    survivals with the sequence axis sharded over the mesh == unsharded."""
+    from forest_benchmarking_tpu.randomized_benchmarking import (
+        sequences_to_ptm_stack, simulate_rb_survival_batched,
+        generate_rb_experiment_sequences)
+
+    mesh = make_mesh()
+    qubits = (0,)
+    depths = [d for d in [2, 6, 10, 16] for _ in range(4)]  # 16 sequences
+    sequences = generate_rb_experiment_sequences(qubits, depths, random_seed=5)
+    ptms, lengths = sequences_to_ptm_stack(sequences, qubits)
+    noise_ptm = jnp.asarray(np.diag([1.0, 0.9, 0.9, 0.9]))
+
+    want = np.asarray(simulate_rb_survival_batched(
+        jnp.asarray(ptms), noise_ptm, lengths=jnp.asarray(lengths)))
+
+    fn = batch_sharded(
+        lambda shared, batched: simulate_rb_survival_batched(
+            batched[0], shared, lengths=batched[1]), mesh)
+    got = np.asarray(fn(noise_ptm, (shard_batch(mesh, jnp.asarray(ptms)),
+                                    shard_batch(mesh, jnp.asarray(lengths)))))
+    np.testing.assert_allclose(got, want, atol=1e-12)
