@@ -157,3 +157,22 @@ def test_batch_sharded_rb_simulation_matches_single_device():
     got = np.asarray(fn(noise_ptm, (shard_batch(mesh, jnp.asarray(ptms)),
                                     shard_batch(mesh, jnp.asarray(lengths)))))
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_sharded_fused_apg_vreg_layout_matches_single_device():
+    """The vreg batch layout (sublanes>1) composes with the mesh wrapper:
+    each shard reshapes its local batch, so sharded == unsharded exactly."""
+    from forest_benchmarking_tpu.ops.lanes_apg import (apg_fused,
+                                                       apg_fused_sharded)
+
+    mesh = make_mesh()
+    a = jnp.asarray(process_tomo_A_matrix(2))
+    n, _ = synth_process_datasets(jax.random.PRNGKey(9), a, 4, 32, 500,
+                                  dtype=jnp.float64)
+    kw = dict(dim=4, phases=((4, 1, 1), (4, 2, 1)), init_iters=4,
+              final_iters=6, sublanes=2)   # per-device batch 4, 2 | 4
+    expected = np.asarray(apg_fused(a, n, **kw))
+    out = apg_fused_sharded(replicate(mesh, a), shard_batch(mesh, n),
+                            mesh, **kw)
+    assert np.allclose(np.asarray(out), expected, atol=1e-12)
