@@ -34,6 +34,13 @@ tunnel block_until_ready can return before execution completes, so np.asarray
 is the only reliable synchronization. Quality is reported as the relative
 Frobenius reconstruction error (shot-noise limited at these shot counts: the
 converged float64 figure is ~0.102 at 2000 shots/setting).
+
+Transient-tolerance contract (round 4): the harness prints ONE JSON line and
+exits 0 even when the tunnel throws transients. Every measurement stage runs
+under bounded retries (``_retry``); a whole-measurement in-process failure
+falls back to ONE fresh subprocess (a new process gets a new tunnel
+connection); and ``main()`` emits whatever succeeded with an ``errors`` field
+instead of dying. tests/test_bench_harness.py injects failures to verify.
 """
 import json
 import subprocess
@@ -69,6 +76,32 @@ TARGET_SOLVES_PER_SEC = 1.0e4
 # solver eigh/VPU-dominated, so fraction-of-VPU-peak is the honest roofline.
 V5E_BF16_MXU_TFLOPS = 197.0
 V5E_F32_VPU_TFLOPS = 7.0
+
+
+def _retry(label: str, fn, errors: dict, attempts: int = 3,
+           backoff_sec: float = 5.0):
+    """Run ``fn()`` with bounded retries; record transient failures.
+
+    The axon tunnel throws transient ``FailedPrecondition``/RPC errors on
+    host fetches and remote (Mosaic) compiles; any stage can hit one. On
+    success after a retry, the transient is recorded in ``errors`` (so the
+    receipt shows it happened) but the figure is still measured. Raises the
+    last exception only after ``attempts`` failures.
+    """
+    last = None
+    for i in range(attempts):
+        try:
+            out = fn()
+            if i > 0:
+                errors[f"{label}_recovered"] = (
+                    f"succeeded on attempt {i + 1} after: {str(last)[:160]}")
+            return out
+        except Exception as e:  # noqa: BLE001 — tunnel transients are broad
+            last = e
+            if i < attempts - 1:
+                time.sleep(backoff_sec * (i + 1))
+    errors[label] = f"{attempts} attempts failed; last: {str(last)[:200]}"
+    raise last
 
 
 def fused_apg_flops_per_solve(phases, init_iters=8, init_sweeps=3,
@@ -174,10 +207,19 @@ def _time_solver_sustained(solve, a_dev, n, chois_ri, k=4, reps=3):
     return min(times) / k
 
 
-def tpu_throughput() -> dict:
-    a_dev = jnp.asarray(split_complex(
-        process_tomo_A_matrix(N_QUBITS).astype(np.complex64)))
-    n, chois_ri = _make_data(a_dev, jax.random.PRNGKey(0))
+def tpu_throughput(errors: dict = None, comparisons: bool = True) -> dict:
+    """Measure the config-2 figures on the live backend.
+
+    ``comparisons=False`` measures only the two first-class figures (fused
+    headline + fused parity) — used by bench_all.py for a self-contained
+    config-2 row without re-timing the XLA/cold/PGDB comparison solvers.
+    """
+    errors = {} if errors is None else errors
+    a_dev = _retry("upload_a_matrix", lambda: jnp.asarray(split_complex(
+        process_tomo_A_matrix(N_QUBITS).astype(np.complex64))), errors)
+    # the very first host fetch is where round 3's receipt died — retried now
+    n, chois_ri = _retry(
+        "make_data", lambda: _make_data(a_dev, jax.random.PRNGKey(0)), errors)
 
     # the A-matrix is fixed per experiment design: production solvers reuse
     # pinv(A), so it is precomputed (host, f64 for accuracy) and passed in
@@ -204,16 +246,21 @@ def tpu_throughput() -> dict:
     # down. Its per-problem iteration counts are MEASURED via an untimed
     # return_iters call (returning the extra (B,) array from the timed
     # program costs ~15% on the tunnel).
-    err_apg, dt_apg = _time_solver(
-        _solver("apg", 25, loop_dyk_iters=1, warm_start=True, stop_tol=1e-4),
-        a_dev, n, chois_ri)
-    solve_iters = _solver("apg", 25, loop_dyk_iters=1, warm_start=True,
-                          stop_tol=1e-4, return_iters=True)
-    _, iters = jax.tree.map(np.asarray, solve_iters(a_dev, n, chois_ri))
-    mean_iters = float(np.asarray(iters).mean())
-    xla_flops = headline_flops_per_solve(mean_iters)
-
-    errors = {}
+    err_apg = dt_apg = mean_iters = xla_flops = None
+    if comparisons:
+        try:
+            err_apg, dt_apg = _retry("xla_warm_apg", lambda: _time_solver(
+                _solver("apg", 25, loop_dyk_iters=1, warm_start=True,
+                        stop_tol=1e-4), a_dev, n, chois_ri), errors)
+            solve_iters = _solver("apg", 25, loop_dyk_iters=1,
+                                  warm_start=True, stop_tol=1e-4,
+                                  return_iters=True)
+            _, iters = _retry("xla_warm_apg_iters", lambda: jax.tree.map(
+                np.asarray, solve_iters(a_dev, n, chois_ri)), errors)
+            mean_iters = float(np.asarray(iters).mean())
+            xla_flops = headline_flops_per_solve(mean_iters)
+        except Exception:  # noqa: BLE001 — comparison line; keep going
+            err_apg = dt_apg = mean_iters = xla_flops = None
 
     # Headline config: the fused solver's statistical-equivalence schedule
     # (HEADLINE_TUNED_2Q — see its comment in ops/lanes_apg.py for the f64
@@ -225,15 +272,20 @@ def tpu_throughput() -> dict:
         k: v for k, v in HEADLINE_TUNED_2Q.items() if k != "mu"})
     try:
         solve_head = make_fused(HEADLINE_TUNED_2Q)
-        err_head, dt_head = _time_solver(solve_head, a_dev, n, chois_ri)
-        dt_head_sustained = _time_solver_sustained(solve_head, a_dev, n,
-                                                   chois_ri)
+        err_head, dt_head = _retry("headline_fused", lambda: _time_solver(
+            solve_head, a_dev, n, chois_ri), errors)
+        dt_head_sustained = _retry(
+            "headline_sustained", lambda: _time_solver_sustained(
+                solve_head, a_dev, n, chois_ri), errors)
     except Exception as e:  # noqa: BLE001 — transient tunnel/Mosaic failure
-        errors["headline_fallback"] = (
-            f"fused headline failed ({str(e)[:200]}); reporting the XLA "
-            f"warm-APG path")
-        err_head, dt_head, dt_head_sustained = err_apg, dt_apg, dt_apg
-        head_flops = xla_flops
+        if dt_apg is not None:
+            errors["headline_fallback"] = (
+                f"fused headline failed ({str(e)[:200]}); reporting the XLA "
+                f"warm-APG path")
+            err_head, dt_head, dt_head_sustained = err_apg, dt_apg, dt_apg
+            head_flops = xla_flops
+        else:
+            raise  # nothing to report at all: let the subprocess retry run
     head_gflops = head_flops * BATCH / dt_head / 1e9
 
     # parity config: the same fused solver at the strict-parity schedule.
@@ -244,40 +296,53 @@ def tpu_throughput() -> dict:
         k: v for k, v in PARITY_TUNED_2Q.items() if k != "mu"})
     try:
         solve_par = make_fused(PARITY_TUNED_2Q)
-        err_fused, dt_fused = _time_solver(solve_par, a_dev, n, chois_ri)
-    except Exception as e:  # noqa: BLE001
-        errors["parity_error"] = f"fused parity failed ({str(e)[:200]})"
+        err_fused, dt_fused = _retry("parity_fused", lambda: _time_solver(
+            solve_par, a_dev, n, chois_ri), errors)
+    except Exception:  # noqa: BLE001 — recorded by _retry
         err_fused, dt_fused = err_apg, float("inf")
     fused_gflops = fused_flops * BATCH / dt_fused / 1e9
     # comparison solvers run their own optimal batch (4096): without the warm
     # start the vmapped while_loop tail grows with batch, so larger batches
     # make them slower per solve — timing them at 16384 would be unfair
     sub = 4096
-    n4, c4 = n[:sub], chois_ri[:, :sub]
-    err_cold, dt_cold = _time_solver(_solver("apg", 25, loop_dyk_iters=2),
-                                     a_dev, n4, c4)
-    err_pgdb, dt_pgdb = _time_solver(_solver("pgdb", 60), a_dev, n4, c4)
+    err_cold = err_pgdb = dt_cold = dt_pgdb = None
+    if comparisons:
+        n4, c4 = n[:sub], chois_ri[:, :sub]
+        try:
+            err_cold, dt_cold = _retry("apg_cold", lambda: _time_solver(
+                _solver("apg", 25, loop_dyk_iters=2), a_dev, n4, c4), errors)
+            err_pgdb, dt_pgdb = _retry("pgdb", lambda: _time_solver(
+                _solver("pgdb", 60), a_dev, n4, c4), errors)
+        except Exception:  # noqa: BLE001 — comparison lines only
+            err_cold = err_pgdb = dt_cold = dt_pgdb = None
+
+    def _per_sec(count, dt):
+        return None if dt is None else count / dt
+
+    def _mean(err):
+        return None if err is None else float(np.asarray(err).mean())
+
     return {
         "solves_per_sec": BATCH / dt_head,
         "sustained_solves_per_sec": BATCH / dt_head_sustained,
         "headline_flops_per_solve": head_flops,
         "headline_achieved_gflops": head_gflops,
-        "xla_warm_apg_solves_per_sec": BATCH / dt_apg,
+        "xla_warm_apg_solves_per_sec": _per_sec(BATCH, dt_apg),
         "xla_warm_apg_mean_iters": mean_iters,
         "xla_warm_apg_flops_per_solve": xla_flops,
         "parity_solves_per_sec": BATCH / dt_fused,
         "parity_flops_per_solve": fused_flops,
         "parity_achieved_gflops": fused_gflops,
         "parity_fraction_vpu_peak": fused_gflops / (V5E_F32_VPU_TFLOPS * 1e3),
-        "mean_rel_frob_err_parity": float(err_fused.mean()),
-        "apg_cold_solves_per_sec": sub / dt_cold,
-        "pgdb_solves_per_sec": sub / dt_pgdb,
+        "mean_rel_frob_err_parity": _mean(err_fused),
+        "apg_cold_solves_per_sec": _per_sec(sub, dt_cold),
+        "pgdb_solves_per_sec": _per_sec(sub, dt_pgdb),
         "batch": BATCH,
         "sec_per_batch": dt_head,
-        "mean_rel_frob_err": float(err_head.mean()),
-        "mean_rel_frob_err_xla_warm": float(err_apg.mean()),
-        "mean_rel_frob_err_cold": float(err_cold.mean()),
-        "mean_rel_frob_err_pgdb": float(err_pgdb.mean()),
+        "mean_rel_frob_err": _mean(err_head),
+        "mean_rel_frob_err_xla_warm": _mean(err_apg),
+        "mean_rel_frob_err_cold": _mean(err_cold),
+        "mean_rel_frob_err_pgdb": _mean(err_pgdb),
         "errors": errors,
     }
 
@@ -374,44 +439,76 @@ def cpu_parity() -> dict:
         return {"max_deviation_vs_oracle": None, "parity_error": str(e)[:300]}
 
 
+def _subprocess_tpu(errors: dict) -> dict:
+    """Whole-measurement fallback: one fresh process = one fresh tunnel
+    connection. Prints the raw perf dict as its last JSON line."""
+    try:
+        out = subprocess.run([sys.executable, "-u", __file__, "--tpu-json"],
+                             capture_output=True, text=True, timeout=3600)
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        errors["tpu_subprocess"] = (
+            f"no JSON from fallback subprocess (rc={out.returncode}): "
+            f"{out.stderr[-200:]}")
+    except Exception as e:  # noqa: BLE001
+        errors["tpu_subprocess"] = str(e)[:300]
+    return None
+
+
+def _r(x, ndigits=None):
+    """round() that passes None through (partial-result emission)."""
+    if x is None:
+        return None
+    return round(x, ndigits) if ndigits is not None else round(x)
+
+
+def _ratio(x, y):
+    return None if x is None else round(x / y, 4)
+
+
 def main():
-    perf = tpu_throughput()
+    errors = {}
+    try:
+        perf = tpu_throughput(errors)
+    except Exception as e:  # noqa: BLE001 — in-process measurement died
+        errors["tpu_inprocess"] = str(e)[:300]
+        perf = _subprocess_tpu(errors)
+    if perf is None:
+        perf = {"batch": BATCH, "errors": {}}
+    g = perf.get
     parity = cpu_parity()
     result = {
         "metric": "2q_process_tomography_mle_throughput",
-        "value": round(perf["solves_per_sec"], 2),
+        "value": _r(g("solves_per_sec"), 2),
         "unit": "solves/sec",
-        "vs_baseline": round(perf["solves_per_sec"] / TARGET_SOLVES_PER_SEC, 4),
-        "sustained_solves_per_sec": round(perf["sustained_solves_per_sec"], 2),
+        "vs_baseline": _ratio(g("solves_per_sec"), TARGET_SOLVES_PER_SEC),
+        "sustained_solves_per_sec": _r(g("sustained_solves_per_sec"), 2),
         "headline_llr_statistic_f64": parity.get("headline_llr_statistic"),
         "headline_vs_converged_pgdb_f64":
             parity.get("headline_vs_converged_pgdb"),
-        "headline_flops_per_solve": round(perf["headline_flops_per_solve"]),
-        "headline_achieved_gflops": round(
-            perf["headline_achieved_gflops"], 1),
-        "xla_warm_apg_solves_per_sec": round(
-            perf["xla_warm_apg_solves_per_sec"], 2),
-        "xla_warm_apg_mean_iters": round(perf["xla_warm_apg_mean_iters"], 2),
-        "xla_warm_apg_flops_per_solve": round(
-            perf["xla_warm_apg_flops_per_solve"]),
-        "parity_solves_per_sec": round(perf["parity_solves_per_sec"], 2),
-        "parity_vs_baseline": round(
-            perf["parity_solves_per_sec"] / TARGET_SOLVES_PER_SEC, 4),
-        "parity_flops_per_solve": round(perf["parity_flops_per_solve"]),
-        "parity_achieved_gflops": round(perf["parity_achieved_gflops"], 1),
-        "parity_fraction_vpu_peak": round(
-            perf["parity_fraction_vpu_peak"], 4),
+        "headline_flops_per_solve": _r(g("headline_flops_per_solve")),
+        "headline_achieved_gflops": _r(g("headline_achieved_gflops"), 1),
+        "xla_warm_apg_solves_per_sec": _r(g("xla_warm_apg_solves_per_sec"), 2),
+        "xla_warm_apg_mean_iters": _r(g("xla_warm_apg_mean_iters"), 2),
+        "xla_warm_apg_flops_per_solve": _r(g("xla_warm_apg_flops_per_solve")),
+        "parity_solves_per_sec": _r(g("parity_solves_per_sec"), 2),
+        "parity_vs_baseline": _ratio(g("parity_solves_per_sec"),
+                                     TARGET_SOLVES_PER_SEC),
+        "parity_flops_per_solve": _r(g("parity_flops_per_solve")),
+        "parity_achieved_gflops": _r(g("parity_achieved_gflops"), 1),
+        "parity_fraction_vpu_peak": _r(g("parity_fraction_vpu_peak"), 4),
         "fused_parity_dev_f64": parity.get("fused_parity_dev"),
-        "mean_rel_frob_err_parity_f32":
-            round(perf["mean_rel_frob_err_parity"], 5),
-        "batch": perf["batch"],
-        "apg_cold_solves_per_sec": round(perf["apg_cold_solves_per_sec"], 2),
-        "pgdb_solves_per_sec": round(perf["pgdb_solves_per_sec"], 2),
-        "mean_rel_frob_err_f32": round(perf["mean_rel_frob_err"], 5),
+        "mean_rel_frob_err_parity_f32": _r(g("mean_rel_frob_err_parity"), 5),
+        "batch": g("batch"),
+        "apg_cold_solves_per_sec": _r(g("apg_cold_solves_per_sec"), 2),
+        "pgdb_solves_per_sec": _r(g("pgdb_solves_per_sec"), 2),
+        "mean_rel_frob_err_f32": _r(g("mean_rel_frob_err"), 5),
         "mean_rel_frob_err_xla_warm_f32":
-            round(perf["mean_rel_frob_err_xla_warm"], 5),
-        "mean_rel_frob_err_cold_f32": round(perf["mean_rel_frob_err_cold"], 5),
-        "mean_rel_frob_err_pgdb_f32": round(perf["mean_rel_frob_err_pgdb"], 5),
+            _r(g("mean_rel_frob_err_xla_warm"), 5),
+        "mean_rel_frob_err_cold_f32": _r(g("mean_rel_frob_err_cold"), 5),
+        "mean_rel_frob_err_pgdb_f32": _r(g("mean_rel_frob_err_pgdb"), 5),
         "max_deviation_vs_oracle_f64": parity.get("max_deviation_vs_oracle"),
         "apg_vs_converged_pgdb_f64": parity.get("apg_vs_converged_pgdb"),
         "warm_apg_vs_converged_pgdb_f64":
@@ -420,9 +517,17 @@ def main():
     }
     if "parity_error" in parity:
         result["parity_error"] = parity["parity_error"]
-    result.update(perf.get("errors", {}))
+    errors.update(perf.get("errors", {}))
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--tpu-json" in sys.argv:
+        errs = {}
+        perf = tpu_throughput(errs)
+        perf["errors"].update(errs)
+        print(json.dumps(perf))
+    else:
+        main()
