@@ -658,7 +658,7 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
               final_sweeps_rest: int = None,
               block: int = 128, use_pallas: bool = True,
               mu: float = None, a_pinv: jnp.ndarray = None,
-              sublanes: int = 1) -> jnp.ndarray:
+              sublanes: int = None) -> jnp.ndarray:
     """Fused-APG batched PGDB MLE: (R, d4) A-matrix (vec order, as used by
     ``pgdb_process_estimate_batched``), (B, R) counts -> (B, d2, d2) Chois.
 
@@ -680,8 +680,14 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
     block whose trailing (8, 128) axes fill whole TPU vregs — every matrix
     entry is vreg-aligned, so the sweep's pair addressing and the composed
     transition permutations move untiled major axes (near-free) instead of
-    shuffling sublanes. Identical numerics (same op sequence per problem);
-    TPU-measured speedups in docs/performance.md.
+    shuffling sublanes. Identical numerics (same op sequence per problem).
+
+    Default (``sublanes=None``): auto — the vreg layout whenever the Pallas
+    path is live and the batch tiles into whole (8, 128) vregs, else the
+    classic layout. TPU-measured at batch 16384 (v5e, round 4): the vreg
+    layout is 3.0x on the parity schedule (12.45k -> 37.4k solves/s) and
+    1.79x on the headline schedule (144.0k -> 258.1k); full table in
+    docs/performance.md.
     """
     d2 = dim * dim
     rdtype = jnp.real(a).dtype
@@ -725,6 +731,13 @@ def apg_fused(a: jnp.ndarray, n_counts: jnp.ndarray, dim: int,
         pl = pltpu = None
 
     r_rows = ar.shape[0]
+
+    if sublanes is None:
+        # auto layout: vreg when the kernel will actually run under Pallas
+        # AND the batch tiles into whole (8, 128) f32 vregs; classic
+        # otherwise (CPU testing, small/ragged batches)
+        sublanes = 8 if (use_pallas and _have_pallas()
+                         and b % (8 * 128) == 0) else 1
 
     def _run_pallas(n_in, rr_in, ri_in, n_spec, mat_spec, out_shape, grid):
         # one pallas_call for both batch layouts; only the batch-axis
@@ -822,18 +835,13 @@ def apg_fused_sharded(a: jnp.ndarray, n_counts: jnp.ndarray, mesh,
         batch axis, e.g. from ``parallel.make_mesh()``.
     :param kw: forwarded to :func:`apg_fused` (``dim`` is required).
     """
-    from jax.sharding import PartitionSpec as P
+    from forest_benchmarking_tpu.parallel import shard_map_batched
 
     if n_counts.shape[0] % mesh.shape[axis_name] != 0:
         raise ValueError(
             f"batch {n_counts.shape[0]} must be divisible by the mesh axis "
             f"{axis_name!r} size {mesh.shape[axis_name]}")
-    # check_vma=False: the solver's fori_loop carries mix replicated
-    # initializers (identity eigenbasis, momentum scalars) with shard-varying
-    # iterates, which the varying-manual-axes checker rejects; there are no
-    # collectives inside, so the check buys nothing here.
-    mapped = jax.shard_map(
-        lambda a_, n_: apg_fused(a_, n_, **kw), mesh=mesh,
-        in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
-        check_vma=False)
+    mapped = shard_map_batched(lambda a_, n_: apg_fused(a_, n_, **kw),
+                               mesh, batched_argnums=(1,),
+                               axis_name=axis_name)
     return mapped(a, n_counts)

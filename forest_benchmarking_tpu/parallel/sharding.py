@@ -17,7 +17,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharded"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharded",
+           "shard_map_batched"]
 
 BATCH_AXIS = "batch"
 
@@ -38,6 +39,47 @@ def shard_batch(mesh: Mesh, x, axis_name: str = BATCH_AXIS):
 def replicate(mesh: Mesh, x):
     """Place an array fully replicated on every device of the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_map_batched(fn, mesh: Mesh, batched_argnums: Sequence[int] = (0,),
+                      fold_key_argnums: Sequence[int] = (),
+                      axis_name: str = BATCH_AXIS, check_vma: bool = False):
+    """``shard_map`` a per-device kernel over a 1-D batch mesh.
+
+    The generalization behind every sharded protocol entry point
+    (``ops.lanes_apg.apg_fused_sharded``, ``quantum_volume.
+    sample_heavy_outputs_sharded``): positional args in ``batched_argnums``
+    are partitioned on their leading axis across ``axis_name``; args in
+    ``fold_key_argnums`` are PRNG keys replicated in, then folded with the
+    shard index inside the map (each device derives a distinct stream, so
+    the result equals running each shard on its own chip with
+    ``fold_in(key, shard)``); everything else is replicated. Every output
+    has its leading axis partitioned.
+
+    ``check_vma=False`` by default: estimator kernels mix replicated
+    initializers with shard-varying iterates inside ``fori_loop`` carries,
+    which the varying-manual-axes checker rejects, and there are no
+    collectives inside these maps for the check to protect.
+    """
+    batched = frozenset(batched_argnums)
+    folded = frozenset(fold_key_argnums)
+
+    def wrapped(*args):
+        in_specs = tuple(P(axis_name) if i in batched else P()
+                         for i in range(len(args)))
+
+        def local(*largs):
+            largs = list(largs)
+            for i in folded:
+                largs[i] = jax.random.fold_in(
+                    largs[i], jax.lax.axis_index(axis_name))
+            return fn(*largs)
+
+        return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                             out_specs=P(axis_name),
+                             check_vma=check_vma)(*args)
+
+    return wrapped
 
 
 def batch_sharded(fn, mesh: Mesh, axis_name: str = BATCH_AXIS):

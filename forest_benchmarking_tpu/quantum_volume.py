@@ -617,7 +617,7 @@ def sample_heavy_outputs_sharded(key, mesh, depth: int, num_circuits: int,
     :return: (num_circuits,) int32 per-circuit heavy counts; sum on the host
         (in-jit scalar reductions can fetch the wrong buffer on the tunnel).
     """
-    from jax.sharding import PartitionSpec as P
+    from forest_benchmarking_tpu.parallel import shard_map_batched
 
     n_dev = mesh.shape[axis_name]
     if num_circuits % n_dev != 0:
@@ -626,14 +626,11 @@ def sample_heavy_outputs_sharded(key, mesh, depth: int, num_circuits: int,
     per_dev = num_circuits // n_dev
 
     def shard(k):
-        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
         return sample_heavy_outputs_batched(
             k, depth=depth, num_circuits=per_dev, num_shots=num_shots, **kw)
 
-    # check_vma=False: the folded key is shard-varying by construction while
-    # kraus closures stay replicated; there are no collectives inside.
-    return jax.shard_map(shard, mesh=mesh, in_specs=P(),
-                         out_specs=P(axis_name), check_vma=False)(key)
+    return shard_map_batched(shard, mesh, batched_argnums=(),
+                             fold_key_argnums=(0,), axis_name=axis_name)(key)
 
 
 def _sample_perms(key, num_circuits: int, depth: int) -> jnp.ndarray:
