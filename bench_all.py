@@ -234,6 +234,23 @@ def config5_noisy_quantum_volume(depth=4, num_circuits=800, shots=1000,
         out["noisy_method"] = noisy_method
     if num_trajectories is not None:
         out["num_trajectories"] = num_trajectories
+    effective = noisy_method
+    if effective == "auto":
+        effective = "density" if depth <= 6 else "trajectory"
+    if effective == "trajectory":
+        # roofline accounting for the fused trajectory kernel (padded to the
+        # 128-lane block, as the kernel runs it), plus the in-kernel
+        # noiseless heavy-set evolution (one 128-lane block per circuit)
+        from forest_benchmarking_tpu.ops.pallas_traj import (
+            traj_flops_per_circuit)
+        t = shots if num_trajectories is None else num_trajectories
+        t_pad = -(-t // 128) * 128
+        flops = traj_flops_per_circuit(depth, num_trajectories=t_pad) \
+            + traj_flops_per_circuit(depth, num_trajectories=128,
+                                     noiseless=True)
+        out["traj_flops_per_circuit"] = round(flops)
+        out["traj_achieved_gflops"] = round(
+            flops * num_circuits / dt / 1e9, 1)
     return out
 
 
@@ -273,6 +290,13 @@ def main():
         # (400 circuits amortizes the dispatch; the kernel peaks there)
         ("config5_noisy_d8", lambda: config5_noisy_quantum_volume(
             depth=8, num_circuits=400, noisy_method="trajectory")),
+        # documented speed point: 500 trajectories x 2 shots each fills one
+        # 512-lane block per circuit (T=1000 pads to 1024 = two blocks);
+        # same expectation, slightly wider CI (see sample_heavy_outputs_
+        # batched docstring on the shot-independence tradeoff)
+        ("config5_noisy_d8_t500", lambda: config5_noisy_quantum_volume(
+            depth=8, num_circuits=400, noisy_method="trajectory",
+            num_trajectories=500)),
     ]
     results = []
     for name, fn in sections:

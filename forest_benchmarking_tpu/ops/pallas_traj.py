@@ -35,7 +35,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["traj_probs_pallas", "supports_pallas_traj"]
+__all__ = ["traj_probs_pallas", "ideal_probs_pallas", "supports_pallas_traj",
+           "traj_flops_per_circuit"]
 
 _LB = 128  # minimum trajectory lane block (Mosaic lane width)
 
@@ -78,7 +79,7 @@ def _boundary_maps(perms: jnp.ndarray, depth: int) -> jnp.ndarray:
 
 
 def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
-            n_kraus: int, lb: int):
+            n_kraus: int, lb: int, noiseless: bool = False):
     """One (circuit, lane-block) instance: evolve (2^d, LB) trajectories.
 
     h_ref: (1, depth+1, 2^d) int32 boundary index maps      [VMEM]
@@ -87,6 +88,10 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
     kr_ref: (2, K, 16) f32 Kraus planes (shared)            [VMEM]
     m_ref:  (2, K, 16) f32 (K^dag K)^T planes (shared)      [VMEM]
     out_ref: (1, 2^d, LB) f32 per-trajectory probabilities  [VMEM]
+
+    ``noiseless=True`` skips every channel step (all lanes then evolve the
+    IDEAL circuit) — used to compute the heavy-set probabilities in-kernel
+    instead of through the unfused XLA statevector simulator.
     """
     d = 2 ** depth
     slots = depth // 2
@@ -101,7 +106,14 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
     iota_col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
 
     def permute(pr, pi, l):
-        """psi[x] <- psi[h[x]] via a one-hot contraction on the MXU."""
+        """psi[x] <- psi[h[x]] via a one-hot contraction on the MXU.
+
+        Precision must be HIGHEST (6-pass bf16) for an exact f32 selection:
+        Mosaic rejects Precision.HIGH ("Unsupported dot precision: HIGH"),
+        and a manual 3-term bf16 split of psi (exact one-hot operand, 3 MXU
+        passes) — though it validates standalone — miscompiles inside this
+        kernel on TPU (wrong probabilities at every depth tried), so it was
+        reverted; see docs/performance.md (trajectory-kernel roofline)."""
         h_row = h_ref[0, l].reshape(1, d)                 # (1, d)
         onehot_t = (iota_col == h_row).astype(f32)        # [y, x] = (y==h[x])
         dn = (((0,), (0,)), ((), ()))
@@ -205,7 +217,8 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
             g_r = g_ref[0, l, j, 0]                        # (16,)
             g_i = g_ref[0, l, j, 1]
             pr, pi = apply_4x4(pr, pi, j, g_r, g_i, scalar_coefs=True)
-            pr, pi = channel(pr, pi, j, l)
+            if not noiseless:
+                pr, pi = channel(pr, pi, j, l)
         return pr, pi
 
     psi_r, psi_i = jax.lax.fori_loop(0, depth, layer_body, (psi_r, psi_i))
@@ -255,8 +268,23 @@ def traj_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
     m = jnp.stack([jnp.real(m_t), jnp.imag(m_t)]).reshape(
         2, n_kraus, 16).astype(f32)
 
+    return _traj_pallas_call(hmaps, gates, uniforms.astype(f32), kr, m,
+                             depth=depth, n_kraus=n_kraus, lb=lb,
+                             noiseless=False, interpret=interpret)
+
+
+def _traj_pallas_call(hmaps, gates, uniforms, kr, m, *, depth, n_kraus, lb,
+                      noiseless, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = hmaps.shape[0]
+    t = uniforms.shape[-1]
+    d = 2 ** depth
+    slots = depth // 2
     grid = (c, t // lb)
-    kern = functools.partial(_kernel, depth=depth, n_kraus=n_kraus, lb=lb)
+    kern = functools.partial(_kernel, depth=depth, n_kraus=n_kraus, lb=lb,
+                             noiseless=noiseless)
     try:
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
@@ -280,7 +308,64 @@ def traj_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, d, lb), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, d, t), f32),
+        out_shape=jax.ShapeDtypeStruct((c, d, t), jnp.float32),
         compiler_params=compiler_params,
         interpret=interpret,
-    )(hmaps, gates, uniforms.astype(f32), kr, m)
+    )(hmaps, gates, uniforms, kr, m)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "interpret"))
+def ideal_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
+                       depth: int, interpret: bool = False) -> jnp.ndarray:
+    """Ideal (noiseless) output probabilities via the fused kernel.
+
+    Replaces the unfused XLA statevector simulation for the heavy-set
+    computation in the noisy-QV trajectory path (the XLA path reads/writes
+    the whole (C, 2^d) state from HBM at every gate and lowers the
+    basis-permutation gathers poorly). Runs one minimum-width (128-lane)
+    noiseless block per circuit — lanes are redundant (every lane evolves
+    the same ideal circuit; permutation maps are per-circuit data so they
+    cannot be batched into lanes) but the whole evolution is one
+    VMEM-resident kernel instance.
+
+    :param perms: (C, depth, depth) int permutations.
+    :param gates_ri: (2, C, depth, depth//2, 4, 4) f32 Haar-gate planes.
+    :return: (C, 2^depth) f32 ideal probabilities.
+    """
+    c = perms.shape[0]
+    slots = depth // 2
+    f32 = jnp.float32
+    hmaps = jax.vmap(lambda p: _boundary_maps(p, depth))(perms)
+    gates = jnp.transpose(gates_ri, (1, 2, 3, 0, 4, 5)).reshape(
+        c, depth, slots, 2, 16).astype(f32)
+    uniforms = jnp.zeros((c, depth, slots, _LB), f32)       # unused
+    eye = jnp.eye(4, dtype=f32).reshape(1, 16)
+    kr = jnp.stack([eye, jnp.zeros_like(eye)])              # K=1 identity
+    out = _traj_pallas_call(hmaps, gates, uniforms, kr, kr, depth=depth,
+                            n_kraus=1, lb=_LB, noiseless=True,
+                            interpret=interpret)
+    return out[:, :, 0]
+
+
+def traj_flops_per_circuit(depth: int, n_kraus: int = 16,
+                           num_trajectories: int = 1024,
+                           noiseless: bool = False) -> float:
+    """Analytic FLOPs of one noisy-QV circuit in the trajectory kernel.
+
+    Per trajectory, per layer: one basis-permutation one-hot matmul
+    (2 planes x 2 d^2), and per slot (depth//2 of them) a 4x4 gate
+    application (~32d) and — unless ``noiseless`` — a channel step
+    (pair-reduced density ~8d x 16/4, branch-weight contraction 4K*16,
+    selection ~3K, sampled-Kraus materialization 4K*16, per-lane 4x4
+    application ~32d, renormalization ~5d). Plus the final boundary
+    permutation and the output probability normalization (~4d).
+    """
+    d = float(2 ** depth)
+    slots = depth // 2
+    perm = 2 * 2 * d * d
+    gate = 32 * d
+    channel = 0.0 if noiseless else (
+        (8 * d / 4) * 16 + 4 * n_kraus * 16 + 3 * n_kraus
+        + 4 * n_kraus * 16 + 32 * d + 5 * d)
+    per_layer = perm + slots * (gate + channel)
+    return num_trajectories * (depth * per_layer + perm + 4 * d)

@@ -518,7 +518,23 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
     gates = haar_rand_unitary(kg, 4, batch=(num_circuits, depth, depth // 2),
                               dtype=dtype).astype(cdtype)
 
-    probs = jax.vmap(lambda p, g: _simulate_qv_circuit(p, g, depth))(perms, gates)
+    from forest_benchmarking_tpu.ops.pallas_traj import (
+        supports_pallas_traj, traj_probs_pallas, ideal_probs_pallas)
+    use_pallas_traj = (kraus is not None
+                       and noisy_method in ("trajectory", "auto")
+                       and (noisy_method == "trajectory" or depth > 6)
+                       and supports_pallas_traj(depth)
+                       and jax.default_backend() not in ("cpu",))
+    if use_pallas_traj:
+        # heavy sets via the fused noiseless kernel (one 128-lane block per
+        # circuit, whole evolution VMEM-resident) — the unfused XLA
+        # statevector sim was ~40% of the depth-8 noisy wall clock
+        gates_ri = jnp.stack([jnp.real(gates), jnp.imag(gates)]).astype(
+            jnp.float32)
+        probs = ideal_probs_pallas(perms, gates_ri, depth).astype(dtype)
+    else:
+        probs = jax.vmap(lambda p, g: _simulate_qv_circuit(p, g, depth))(
+            perms, gates)
     med = jnp.median(probs, axis=1, keepdims=True)
     heavy = probs > med  # (C, 2**depth)
 
@@ -541,20 +557,16 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
                                  f"num_shots ({num_shots})")
             shots_per_traj = num_shots // t
             ku, kt = jax.random.split(ks)
-            from forest_benchmarking_tpu.ops.pallas_traj import (
-                supports_pallas_traj, traj_probs_pallas)
-            if (supports_pallas_traj(depth)
-                    and jax.default_backend() not in ("cpu",)):
+            if use_pallas_traj:
                 # fused kernel: whole evolution VMEM-resident per 128-lane
                 # trajectory block; pad T up to the lane block and slice
                 t_pad = -(-t // 128) * 128
                 uniforms = jax.random.uniform(
                     ku, (num_circuits, depth, depth // 2, t_pad),
                     dtype=jnp.float32)
-                gates_ri = jnp.stack([jnp.real(gates), jnp.imag(gates)])
                 kraus_ri = jnp.stack([jnp.real(kraus), jnp.imag(kraus)])
                 traj_probs = traj_probs_pallas(
-                    perms, gates_ri.astype(jnp.float32),
+                    perms, gates_ri,
                     kraus_ri.astype(jnp.float32), uniforms,
                     depth)[:, :, :t].astype(dtype)
             else:

@@ -398,3 +398,26 @@ def test_lifted_density_form_matches_tensor_form():
     lifted_form = np.asarray(_simulate_qv_circuit_density_lifted(perms, g,
                                                                  lifts, depth))
     np.testing.assert_allclose(lifted_form, tensor_form, atol=1e-12)
+
+
+def test_ideal_probs_pallas_matches_xla_sim_interpret():
+    """The noiseless fused kernel (interpret mode) reproduces the XLA ideal
+    statevector simulator's output distribution (it replaces that simulator
+    for the heavy-set computation in the noisy trajectory path)."""
+    from forest_benchmarking_tpu.quantum_volume import (_sample_perms,
+                                                        _simulate_qv_circuit)
+    from forest_benchmarking_tpu.ops.random_operators import haar_rand_unitary
+    from forest_benchmarking_tpu.ops.pallas_traj import ideal_probs_pallas
+
+    depth, circuits = 7, 3
+    perms = _sample_perms(jax.random.PRNGKey(4), circuits, depth)
+    gates = haar_rand_unitary(jax.random.PRNGKey(5), 4,
+                              batch=(circuits, depth, depth // 2),
+                              dtype=jnp.float32).astype(jnp.complex64)
+    xla = np.asarray(jax.vmap(
+        lambda p, g: _simulate_qv_circuit(p, g, depth))(perms, gates))
+    gates_ri = jnp.stack([jnp.real(gates), jnp.imag(gates)]).astype(jnp.float32)
+    pal = np.asarray(ideal_probs_pallas(perms, gates_ri, depth,
+                                        interpret=True))
+    np.testing.assert_allclose(pal, xla, atol=2e-6)
+    np.testing.assert_allclose(pal.sum(axis=1), 1.0, atol=1e-5)
