@@ -145,8 +145,15 @@ def config3_rb_fits(batch=8192, n_depths=8, shots=500):
     }
 
 
-def config4_dfe_distances(batch=1024, dnorm_batch=512):
-    """Distance measures over random 2Q channels + batched diamond norms."""
+def config4_dfe_distances(batch=1024, dnorm_batch=2048):
+    """Distance measures over random 2Q channels + batched diamond norms.
+
+    The diamond norms route through the fused lanes-planes solver on TPU
+    (``diamond_norm_distance(method="auto")`` -> ops/lanes_dnorm.py):
+    warm-carried Jacobi eigenbases + hand-derived gradient, fixed 96-step
+    Adam schedule, cold final evaluation. Accuracy vs converged f64 gold is
+    pinned by tests/test_lanes_dnorm.py (f64 <1e-6) and the on-chip f32
+    sweep in docs/performance.md (<=1e-5)."""
     @jax.jit
     def dist_step(key):
         k1, k2 = jax.random.split(key)
@@ -168,11 +175,13 @@ def config4_dfe_distances(batch=1024, dnorm_batch=512):
         return diamond_norm_distance(chois1, chois2)
 
     dn, dt_dnorm = timed(dnorm_step, jax.random.PRNGKey(3))
+    dnorm_method = ("fused" if jax.default_backend() != "cpu" else "dense")
     return {
         "metric": "channel_distance_throughput",
         "value": round(batch / dt_dist, 2), "unit": "channel-pairs/sec",
         "vs_baseline": None, "batch": batch,
         "diamond_norms_per_sec": round(dnorm_batch / dt_dnorm, 2),
+        "dnorm_batch": dnorm_batch, "dnorm_method": dnorm_method,
         "mean_diamond_norm": round(float(np.mean(dn)), 4),
     }
 

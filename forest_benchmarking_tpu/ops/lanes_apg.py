@@ -145,12 +145,23 @@ def _multi_sweep(a_r, a_i, v_r, v_i, eps, n, sweeps):
     def cmul(xr, xi, yr, yi):
         return xr * yr - xi * yi, xr * yi + xi * yr
 
+    def fence(*xs):
+        # XLA:TPU miscompiles the slice-concat permutation when it fuses
+        # with the rotation math that consumes it at small n (measured: n=4
+        # pair-layout entry + rotate_cols returns values off by O(1); the
+        # permuted intermediate alone fetches correctly, and both an
+        # optimization_barrier and a gather-based permute fix it; n=16 is
+        # unaffected). Fence the perms from the rotations for n <= 8 only,
+        # so the hot n=16 tomography sweeps keep full fusion.
+        return jax.lax.optimization_barrier(xs) if n <= 8 else xs
+
     # enter pair layout of round 0
     o0 = orders[0]
     a_r = _rows_perm(_cols_perm(a_r, o0), o0)
     a_i = _rows_perm(_cols_perm(a_i, o0), o0)
     v_r = _cols_perm(v_r, o0)
     v_i = _cols_perm(v_i, o0)
+    a_r, a_i, v_r, v_i = fence(a_r, a_i, v_r, v_i)
 
     for swp in range(sweeps):
         for r in range(nrounds):
@@ -222,6 +233,7 @@ def _multi_sweep(a_r, a_i, v_r, v_i, eps, n, sweeps):
             a_i = _rows_perm(_cols_perm(a_i, t), t)
             v_r = _cols_perm(v_r, t)
             v_i = _cols_perm(v_i, t)
+            a_r, a_i, v_r, v_i = fence(a_r, a_i, v_r, v_i)
     return a_r, a_i, v_r, v_i
 
 
