@@ -198,7 +198,13 @@ def _dnorm_objective(a: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
     (dlam_i = v_i^dag dM v_i), never eigenvector gaps.
     """
     d = a.shape[-1]
-    s = a / jnp.sqrt(jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1), keepdims=True))
+    # floor ||A||^2 INSIDE the sqrt: the warm start (input marginal of |J|)
+    # gives A = 0 when J = 0 (identical channels), and S = 0 is then the
+    # correct zero-value iterate; without the floor both the value (0/0) and
+    # the norm's own derivative a/||a|| NaN at A = 0 (flooring after the
+    # sqrt only fixes the value — same guard as the fused planes solver)
+    nu2 = jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1), keepdims=True)
+    s = a / jnp.sqrt(jnp.maximum(nu2, jnp.asarray(1e-30, nu2.dtype)))
     eye = jnp.eye(d, dtype=a.dtype)
     lift = jnp.einsum("...ij,kl->...ikjl", s, eye).reshape(*a.shape[:-2], d * d, d * d)
     # full-precision matmuls: on TPU the default bf16 passes cost ~3 decades
