@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from .lanes_apg import (_cmm, _cmm_hconj_left, _eye_planes, _hermitianize,
                         _multi_sweep)
 
-__all__ = ["dnorm_fused", "dnorm_planes"]
+__all__ = ["dnorm_fused", "dnorm_planes", "dnorm_fused_sharded"]
 
 
 def _lift_apply(sr, si, vr, vi, dim):
@@ -287,3 +287,29 @@ def dnorm_fused(choi0: jnp.ndarray, choi1: jnp.ndarray, *, dim: int = None,
                         num_iters=num_iters, sweeps=sweeps,
                         init_sweeps=init_sweeps, final_sweeps=final_sweeps)
     return vals.reshape(batch)
+
+
+def dnorm_fused_sharded(choi0: jnp.ndarray, choi1: jnp.ndarray, mesh,
+                        axis_name: str = "batch", **kw) -> jnp.ndarray:
+    """Run :func:`dnorm_fused` with the channel-pair batch sharded across a
+    device mesh (same multi-chip idiom as ``lanes_apg.apg_fused_sharded``:
+    the solve is elementwise in the batch, so each device runs the full
+    planes solver on its local shard and no collectives appear in the loop).
+
+    :param choi0, choi1: (B, n, n) Choi batches; B must divide evenly by the
+        mesh size.
+    :param mesh: a ``jax.sharding.Mesh`` with ``axis_name`` as its (only)
+        batch axis, e.g. from ``parallel.make_mesh()``.
+    :param kw: forwarded to :func:`dnorm_fused` (e.g. ``dim``,
+        ``num_iters``).
+    """
+    from forest_benchmarking_tpu.parallel import shard_map_batched
+
+    if choi0.shape[0] % mesh.shape[axis_name] != 0:
+        raise ValueError(
+            f"batch {choi0.shape[0]} must be divisible by the mesh axis "
+            f"{axis_name!r} size {mesh.shape[axis_name]}")
+    mapped = shard_map_batched(lambda c0, c1: dnorm_fused(c0, c1, **kw),
+                               mesh, batched_argnums=(0, 1),
+                               axis_name=axis_name)
+    return mapped(choi0, choi1)

@@ -176,3 +176,27 @@ def test_sharded_fused_apg_vreg_layout_matches_single_device():
     out = apg_fused_sharded(replicate(mesh, a), shard_batch(mesh, n),
                             mesh, **kw)
     assert np.allclose(np.asarray(out), expected, atol=1e-12)
+
+
+def test_sharded_fused_dnorm_matches_single_device():
+    """dnorm_fused_sharded on the 8-device mesh reproduces the single-device
+    fused diamond norm exactly (elementwise in the channel-pair batch)."""
+    from forest_benchmarking_tpu.ops.lanes_dnorm import (dnorm_fused,
+                                                         dnorm_fused_sharded)
+    from forest_benchmarking_tpu.ops.random_operators import (
+        rand_map_with_BCSZ_dist)
+
+    mesh = make_mesh()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    # 1Q channels: this checks mesh plumbing, not convergence — the n=4
+    # planes compile is seconds on CPU where the 2Q (n=16) one is minutes
+    c0 = rand_map_with_BCSZ_dist(k1, 2, 4, batch=(16,))
+    c1 = rand_map_with_BCSZ_dist(k2, 2, 4, batch=(16,))
+    kw = dict(num_iters=16)
+    expected = np.asarray(dnorm_fused(c0, c1, **kw))
+    out = dnorm_fused_sharded(shard_batch(mesh, c0), shard_batch(mesh, c1),
+                              mesh, **kw)
+    assert out.sharding.spec[0] == "batch"
+    assert np.allclose(np.asarray(out), expected, atol=1e-12)
+    with pytest.raises(ValueError, match="divisible"):
+        dnorm_fused_sharded(c0[:12], c1[:12], mesh, **kw)
