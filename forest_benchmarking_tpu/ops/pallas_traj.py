@@ -108,12 +108,15 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
     def permute(pr, pi, l):
         """psi[x] <- psi[h[x]] via a one-hot contraction on the MXU.
 
-        Precision must be HIGHEST (6-pass bf16) for an exact f32 selection:
-        Mosaic rejects Precision.HIGH ("Unsupported dot precision: HIGH"),
-        and a manual 3-term bf16 split of psi (exact one-hot operand, 3 MXU
-        passes) — though it validates standalone — miscompiles inside this
-        kernel on TPU (wrong probabilities at every depth tried), so it was
-        reverted; see docs/performance.md (trajectory-kernel roofline)."""
+        Precision.HIGHEST (6-pass bf16) f32 dots — exact selection. Measured
+        round 4 (interleaved A/B on chip, depth 8, C=256, T=1024): a 3-term
+        bf16 split of psi (bf16 one-hot, three single-pass dots — bit-exact
+        vs this path, unlike the round-3 attempt) is only ~3.5% faster, and
+        even a lossy single DEFAULT-precision pass is only ~10% faster, so
+        the permutation matmuls are ~12% of kernel time and the kernel is
+        NOT MXU-pass bound (see docs/performance.md); the exact 6-pass form
+        stays. Mosaic rejects Precision.HIGH ("Unsupported dot precision")
+        and lowers no optimization_barrier."""
         h_row = h_ref[0, l].reshape(1, d)                 # (1, d)
         onehot_t = (iota_col == h_row).astype(f32)        # [y, x] = (y==h[x])
         dn = (((0,), (0,)), ((), ()))
