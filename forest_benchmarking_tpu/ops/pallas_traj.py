@@ -85,23 +85,30 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
     h_ref: (1, depth+1, 2^d) int32 boundary index maps      [VMEM]
     g_ref: (1, depth, depth//2, 2, 16) f32 gate planes      [VMEM]
     u_ref: (1, depth, depth//2, LB) f32 branch uniforms     [VMEM]
-    kr_ref: (2, K, 16) f32 Kraus planes (shared)            [VMEM]
-    m_ref:  (2, K, 16) f32 (K^dag K)^T planes (shared)      [VMEM]
+    kr_ref: noisy: (1, depth, depth//2, 2, K, 16) f32 fused gate-Kraus
+        planes W_k = K_k U (per circuit/layer/slot); noiseless: (2, K, 16)
+        dummy                                               [VMEM]
+    m_ref: noisy: (1, depth, depth//2, 2, K, 16) f32 rotated-POVM planes
+        (U^dag K_k^dag K_k U)^T; noiseless: (2, K, 16) dummy [VMEM]
     out_ref: (1, 2^d, LB) f32 per-trajectory probabilities  [VMEM]
 
     ``noiseless=True`` skips every channel step (all lanes then evolve the
-    IDEAL circuit) — used to compute the heavy-set probabilities in-kernel
-    instead of through the unfused XLA statevector simulator.
+    IDEAL circuit via the per-slot gate apply) — used to compute the
+    heavy-set probabilities in-kernel instead of through the unfused XLA
+    statevector simulator.
+
+    In the noisy mode the per-slot Haar gate is FUSED into the channel:
+    branch weights come from the pre-gate state through the rotated POVM
+    (p_k = tr(M_k U rho U^dag) = tr((U^dag M_k U) rho)), and the sampled
+    branch applies the precomposed W_k = K_k U — ONE 4x4 apply per slot
+    instead of gate-then-Kraus (the gate apply was ~1/3 of the slot's VPU
+    work; the 4x4 compositions are precomputed outside the kernel and
+    amortize over the trajectory lanes).
     """
     d = 2 ** depth
     slots = depth // 2
     hi = jax.lax.Precision.HIGHEST
     f32 = jnp.float32
-
-    kr_r = kr_ref[0]                      # (K, 16)
-    kr_i = kr_ref[1]
-    m_r = m_ref[0]
-    m_i = m_ref[1]
 
     iota_col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
 
@@ -156,6 +163,10 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
         return new_r, new_i
 
     def channel(pr, pi, j, l):
+        m_r = m_ref[0, l, j, 0]           # (K, 16) rotated-POVM^T planes
+        m_i = m_ref[0, l, j, 1]
+        kr_r = kr_ref[0, l, j, 0]         # (K, 16) fused W_k = K_k U planes
+        kr_i = kr_ref[0, l, j, 1]
         left = 2 ** j
         right = 2 ** (depth - j - 2)
         pr4 = pr.reshape(left, 4, right, lb)
@@ -175,8 +186,9 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
                 rho_i.append(ri)
         rho_r = jnp.concatenate(rho_r, axis=0)            # (16, LB) [a*4+b]
         rho_i = jnp.concatenate(rho_i, axis=0)
-        # p_k = sum_ab M_k[a,b] rho[b,a]  (real by hermiticity); m_ref holds
-        # M TRANSPOSED (built host-side), so the contraction is direct
+        # p_k = sum_ab M'_k[a,b] rho[b,a] with M'_k = U^dag K_k^dag K_k U
+        # the PRE-gate branch weight (real by hermiticity); m_ref holds M'
+        # TRANSPOSED (built host-side), so the contraction is direct
         dn = (((1,), (0,)), ((), ()))
         p = (jax.lax.dot_general(m_r, rho_r, dn, precision=hi,
                                  preferred_element_type=f32)
@@ -217,10 +229,12 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
         pr, pi = carry
         pr, pi = permute(pr, pi, l)
         for j in range(slots):
-            g_r = g_ref[0, l, j, 0]                        # (16,)
-            g_i = g_ref[0, l, j, 1]
-            pr, pi = apply_4x4(pr, pi, j, g_r, g_i, scalar_coefs=True)
-            if not noiseless:
+            if noiseless:
+                g_r = g_ref[0, l, j, 0]                    # (16,)
+                g_i = g_ref[0, l, j, 1]
+                pr, pi = apply_4x4(pr, pi, j, g_r, g_i, scalar_coefs=True)
+            else:
+                # gate fused into the channel (W_k = K_k U planes)
                 pr, pi = channel(pr, pi, j, l)
         return pr, pi
 
@@ -260,20 +274,30 @@ def traj_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
     hmaps = jax.vmap(lambda p: _boundary_maps(p, depth))(perms)  # (C, depth+1, d)
     gates = jnp.transpose(gates_ri, (1, 2, 3, 0, 4, 5)).reshape(
         c, depth, slots, 2, 16).astype(f32)
-    kr = kraus_ri.reshape(2, n_kraus, 16).astype(f32)
-    kraus = kr[0] + 1j * kr[1]
-    m_ops = jnp.einsum("kba,kbc->kac", jnp.conj(kraus.reshape(-1, 4, 4)),
-                       kraus.reshape(-1, 4, 4),
-                       precision=jax.lax.Precision.HIGHEST)
-    # the kernel contracts p_k = sum_ab M[a,b] rho[b,a]; ship M transposed so
-    # the in-kernel contraction needs no relayout
-    m_t = jnp.swapaxes(m_ops, -1, -2)
-    m = jnp.stack([jnp.real(m_t), jnp.imag(m_t)]).reshape(
-        2, n_kraus, 16).astype(f32)
+    hi = jax.lax.Precision.HIGHEST
+    gates_c = (gates_ri[0] + 1j * gates_ri[1]).astype(jnp.complex64)
+    kraus = (kraus_ri[0] + 1j * kraus_ri[1]).reshape(-1, 4, 4)
+    m_ops = jnp.einsum("kba,kbc->kac", jnp.conj(kraus), kraus, precision=hi)
+    # fuse the per-slot gate into the channel (one 4x4 apply per slot in the
+    # kernel): the sampled branch applies W_k = K_k U, and the branch weights
+    # come from the PRE-gate state through the rotated POVM
+    # M'_k = U^dag M_k U (tr(M_k U rho U^dag) = tr(M'_k rho)); these 4x4
+    # compositions are cheap here (no trajectory axis) and amortize over all
+    # T lanes in the kernel
+    w = jnp.einsum("kab,cljbe->cljkae", kraus, gates_c, precision=hi)
+    mp = jnp.einsum("cljba,kbe,cljef->cljkaf", jnp.conj(gates_c), m_ops,
+                    gates_c, precision=hi)
+    # the kernel contracts p_k = sum_ab M'[a,b] rho[b,a]; ship M' transposed
+    # so the in-kernel contraction needs no relayout
+    mp_t = jnp.swapaxes(mp, -1, -2)
 
-    return _traj_pallas_call(hmaps, gates, uniforms.astype(f32), kr, m,
-                             depth=depth, n_kraus=n_kraus, lb=lb,
-                             noiseless=False, interpret=interpret)
+    def planes(x):
+        return jnp.stack([jnp.real(x), jnp.imag(x)], axis=3).reshape(
+            c, depth, slots, 2, n_kraus, 16).astype(f32)
+
+    return _traj_pallas_call(hmaps, gates, uniforms.astype(f32), planes(w),
+                             planes(mp_t), depth=depth, n_kraus=n_kraus,
+                             lb=lb, noiseless=False, interpret=interpret)
 
 
 def _traj_pallas_call(hmaps, gates, uniforms, kr, m, *, depth, n_kraus, lb,
@@ -304,11 +328,22 @@ def _traj_pallas_call(hmaps, gates, uniforms, kr, m, *, depth, n_kraus, lb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, depth, slots, lb), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
+        ] + ([
+            # noiseless: shared (unused) dummy planes
             pl.BlockSpec((2, n_kraus, 16), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, n_kraus, 16), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] if noiseless else [
+            # noisy: per-circuit fused gate-Kraus (W_k = K_k U) and rotated
+            # POVM (U^dag M_k U)^T planes, one slot block each layer step
+            pl.BlockSpec((1, depth, slots, 2, n_kraus, 16),
+                         lambda i, j: (i, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, depth, slots, 2, n_kraus, 16),
+                         lambda i, j: (i, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]),
         out_specs=pl.BlockSpec((1, d, lb), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, d, t), jnp.float32),
@@ -356,19 +391,23 @@ def traj_flops_per_circuit(depth: int, n_kraus: int = 16,
     """Analytic FLOPs of one noisy-QV circuit in the trajectory kernel.
 
     Per trajectory, per layer: one basis-permutation one-hot matmul
-    (2 planes x 2 d^2), and per slot (depth//2 of them) a 4x4 gate
-    application (~32d) and — unless ``noiseless`` — a channel step
-    (pair-reduced density ~8d x 16/4, branch-weight contraction 4K*16,
-    selection ~3K, sampled-Kraus materialization 4K*16, per-lane 4x4
-    application ~32d, renormalization ~5d). Plus the final boundary
-    permutation and the output probability normalization (~4d).
+    (2 planes x 2 d^2), and per slot (depth//2 of them) either a 4x4 gate
+    application (~32d, ``noiseless``) or the fused gate-channel step
+    (pair-reduced density ~8d x 16/4, rotated-POVM branch-weight
+    contraction 4K*16, selection ~3K, sampled fused-operator
+    materialization 4K*16, ONE per-lane 4x4 W_k = K_k U application ~32d,
+    renormalization ~5d — the plain gate apply is folded into W_k, and the
+    host-side 4x4 compositions have no trajectory axis so they are not
+    counted per trajectory). Plus the final boundary permutation and the
+    output probability normalization (~4d).
     """
     d = float(2 ** depth)
     slots = depth // 2
     perm = 2 * 2 * d * d
     gate = 32 * d
-    channel = 0.0 if noiseless else (
+    channel = (
         (8 * d / 4) * 16 + 4 * n_kraus * 16 + 3 * n_kraus
         + 4 * n_kraus * 16 + 32 * d + 5 * d)
-    per_layer = perm + slots * (gate + channel)
+    per_slot = gate if noiseless else channel
+    per_layer = perm + slots * per_slot
     return num_trajectories * (depth * per_layer + perm + 4 * d)
