@@ -441,10 +441,15 @@ def cpu_parity() -> dict:
 
 def _subprocess_tpu(errors: dict) -> dict:
     """Whole-measurement fallback: one fresh process = one fresh tunnel
-    connection. Prints the raw perf dict as its last JSON line."""
+    connection. Prints the raw perf dict as its last JSON line.
+
+    The parent's live jax client can contend with the child for the tunnel
+    (CLAUDE.md: concurrent TPU processes starve each other) — the parent is
+    idle here, but the timeout is kept at half the old 3600 s so a starved
+    child fails fast enough for main() to still emit partial results."""
     try:
         out = subprocess.run([sys.executable, "-u", __file__, "--tpu-json"],
-                             capture_output=True, text=True, timeout=3600)
+                             capture_output=True, text=True, timeout=1800)
         for line in reversed(out.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):

@@ -33,6 +33,7 @@ __all__ = [
     "shifted_cosine", "fit_shifted_cosine",
     "FitResult", "Param", "fit_model", "fit_model_batched",
     "fit_result_to_json", "plot_figure_for_fit", "errs_to_weights",
+    "FIT_PLOT_KWS",
 ]
 
 
@@ -305,6 +306,17 @@ DARK_TEAL = "#48737F"
 FUSCHIA = "#D6619E"
 BEIGE = "#EAE8C6"
 GRAY = "#494949"
+
+# plot keyword defaults (reference analysis/fitting.py:188): kept for name
+# parity and for callers styling their own fit plots; plot_figure_for_fit
+# below draws with matplotlib directly (no lmfit plot_fit), applying the
+# same data/fit styling inline.
+FIT_PLOT_KWS = {
+    "data_kws": {"color": "black", "markersize": 4.0},
+    "init_kws": {"color": TEAL, "alpha": 0.4, "linestyle": "--"},
+    "fit_kws": {"alpha": 1.0, "linewidth": 2.0},
+    "numpoints": 1000,
+}
 
 DEFAULT_FIG_SIZE = (7, 10)
 DEFAULT_AXIS_FONT_SIZE = 14

@@ -23,7 +23,12 @@ from forest_benchmarking_tpu.sim.statevector import all_bitstrings
 __all__ = ["assign_registers_to_line_or_cycle", "get_qubit_registers_for_adder",
            "adder", "get_n_bit_adder_results",
            "get_success_probabilities_from_results",
-           "get_error_hamming_distributions_from_results"]
+           "get_error_hamming_distributions_from_results", "REG_NAME"]
+
+# classical-register name the reference binds input bitstrings to
+# (ripple_carry_adder.py:34); the in-process executor preps bitstrings
+# directly (utils.bitstring_prep), so this is kept for name/API parity
+REG_NAME = "input"
 
 
 def assign_registers_to_line_or_cycle(start: int, graph: nx.Graph,

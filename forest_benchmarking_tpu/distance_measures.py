@@ -26,7 +26,7 @@ TPU-first design:
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -217,13 +217,18 @@ def _dnorm_objective(a: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("num_iters", "num_restarts", "warm_start",
-                                   "min_iters", "method", "fused_iters"))
+                                   "stop_tol", "min_iters", "method",
+                                   "fused_iters", "decay_iters"))
 def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
-                          num_iters: int = 200, num_restarts: int = 1,
-                          seed: int = 7, warm_start: bool = True,
-                          stop_tol: float = 3e-7,
-                          min_iters: int = 24, method: str = "auto",
-                          fused_iters: int = 96) -> jnp.ndarray:
+                          num_iters: Optional[int] = None,
+                          num_restarts: Optional[int] = None,
+                          seed: Optional[int] = None,
+                          warm_start: Optional[bool] = None,
+                          stop_tol: Optional[float] = None,
+                          min_iters: Optional[int] = None,
+                          method: str = "auto",
+                          fused_iters: int = 96,
+                          decay_iters: Optional[float] = None) -> jnp.ndarray:
     r"""Diamond-norm distance between two CPTP maps given as Choi matrices.
 
     Solves the Watrous SDP [CBN] (the same program as the reference's cvxpy code,
@@ -262,7 +267,12 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
     without that pin, TPU's default bf16 passes degrade f32 accuracy to
     ~1e-3). Tighten ``stop_tol`` (or set it to 0 with larger ``num_iters``)
     for more accuracy; the early exit trades the last decimal for ~4x
-    throughput.
+    throughput. With ``stop_tol=0`` the fixed schedule runs under
+    ``fori_loop`` and the estimator is reverse-differentiable
+    (``jax.grad`` works); any positive ``stop_tol`` uses a ``while_loop``
+    early exit and is forward-only. ``decay_iters`` (default 50) is the
+    Adam learning-rate half-life in iterations — scale it up with long
+    ``num_iters`` schedules so the tail iterations still move.
 
     :param method: ``"fused"`` routes to the lanes-layout planes solver
         (:mod:`forest_benchmarking_tpu.ops.lanes_dnorm` — warm-carried Jacobi
@@ -274,6 +284,11 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
         fused on non-CPU backends for dim <= 4 (1Q/2Q channels — the planes
         code unrolls in n = dim^2 and is compile-prohibitive beyond), dense
         otherwise; CPU keeps dense for fast test compiles and f64 gold runs.
+        The fused schedule ignores the dense-path knobs, so ``"auto"`` also
+        falls back to dense whenever the caller explicitly passes any of
+        ``num_iters``/``num_restarts``/``seed``/``warm_start``/``stop_tol``/
+        ``min_iters``/``decay_iters`` (their ``None`` defaults mean "solver's
+        choice") — an explicit budget is always honored.
     :return: per-batch-element diamond norm distance (real array).
     """
     choi0 = jnp.asarray(choi0)
@@ -284,9 +299,24 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
     cdtype = j.dtype
     rdtype = jnp.real(j).dtype
 
+    # the dense-budget knobs default to None so "auto" can tell an explicit
+    # budget apart from the defaults: the fused planes solver has a FIXED
+    # schedule (fused_iters only), so a caller tightening num_iters/stop_tol/
+    # restarts (e.g. a gold run) must get the dense path, not a silent no-op
+    explicit_dense_budget = any(
+        v is not None for v in (num_iters, num_restarts, seed, warm_start,
+                                stop_tol, min_iters, decay_iters))
+    num_iters = 200 if num_iters is None else num_iters
+    num_restarts = 1 if num_restarts is None else num_restarts
+    seed = 7 if seed is None else seed
+    warm_start = True if warm_start is None else warm_start
+    stop_tol = 3e-7 if stop_tol is None else stop_tol
+    min_iters = 24 if min_iters is None else min_iters
+    decay_iters = 50.0 if decay_iters is None else float(decay_iters)
+
     if method == "auto":
         method = ("fused" if d <= 4 and jax.default_backend() != "cpu"
-                  else "dense")
+                  and not explicit_dense_budget else "dense")
     if method == "fused":
         from .ops.lanes_dnorm import dnorm_planes
         n = d * d
@@ -347,7 +377,7 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
         it = (i + 1).astype(rdtype)
         mhat = m / (1 - b1 ** it)
         vhat = v / (1 - b2 ** it)
-        lr = lr0 * (0.5 ** ((it - 1) / 50.0))
+        lr = lr0 * (0.5 ** ((it - 1) / decay_iters))
         x = x + lr * mhat / (jnp.sqrt(vhat) + eps)  # ascent
         # max relative objective movement across the whole batch this step
         delta = jnp.max(jnp.abs(vals - prev_vals)
@@ -357,7 +387,13 @@ def diamond_norm_distance(choi0: jnp.ndarray, choi1: jnp.ndarray,
     zeros_v = jnp.zeros((num_restarts, *batch), rdtype)
     carry = (x0, jnp.zeros_like(x0), jnp.zeros_like(x0),
              jnp.zeros((), jnp.int32), zeros_v, jnp.ones((), rdtype))
-    x, _, _, _, _, _ = lax.while_loop(cond, body, carry)
+    if stop_tol == 0:
+        # no early exit requested: run the fixed schedule under fori_loop,
+        # which (unlike while_loop) keeps the estimator reverse-differentiable
+        x, _, _, _, _, _ = lax.fori_loop(
+            0, num_iters, lambda _, c: body(c), carry)
+    else:
+        x, _, _, _, _, _ = lax.while_loop(cond, body, carry)
     a = (x[:, 0] + 1j * x[:, 1]).astype(cdtype)
     vals = _dnorm_objective(a, jb)  # (R, ...)
     return 2 * jnp.max(vals, axis=0)

@@ -53,11 +53,12 @@ __all__ = [
     "state_to_density", "linear_inv_state_estimate", "iterative_mle_state_estimate",
     "iterative_mle_state_estimate_batched", "state_log_likelihood",
     "estimate_variance", "linear_inv_process_estimate", "pgdb_process_estimate",
-    "pgdb_process_estimate_batched", "do_tomography",
+    "pgdb_process_estimate_batched", "do_tomography", "FRO",
 ]
 
 MAXITER = "maxiter"
 OPTIMAL = "optimal"
+FRO = "fro"  # Frobenius-norm ord string (reference tomography.py:25)
 
 
 # ======================================================================
