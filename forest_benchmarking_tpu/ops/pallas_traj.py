@@ -79,7 +79,8 @@ def _boundary_maps(perms: jnp.ndarray, depth: int) -> jnp.ndarray:
 
 
 def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
-            n_kraus: int, lb: int, noiseless: bool = False):
+            n_kraus: int, lb: int, noiseless: bool = False,
+            perm_split3: bool = False):
     """One (circuit, lane-block) instance: evolve (2^d, LB) trajectories.
 
     h_ref: (1, depth+1, 2^d) int32 boundary index maps      [VMEM]
@@ -115,18 +116,48 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
     def permute(pr, pi, l):
         """psi[x] <- psi[h[x]] via a one-hot contraction on the MXU.
 
-        Precision.HIGHEST (6-pass bf16) f32 dots — exact selection. Measured
-        round 4 (interleaved A/B on chip, depth 8, C=256, T=1024): a 3-term
-        bf16 split of psi (bf16 one-hot, three single-pass dots — bit-exact
-        vs this path, unlike the round-3 attempt) is only ~3.5% faster, and
-        even a lossy single DEFAULT-precision pass is only ~10% faster, so
-        the permutation matmuls are ~12% of kernel time and the kernel is
-        NOT MXU-pass bound (see docs/performance.md); the exact 6-pass form
-        stays. Mosaic rejects Precision.HIGH ("Unsupported dot precision")
-        and lowers no optimization_barrier."""
+        Two exact forms, selected by ``perm_split3``:
+
+        - False: Precision.HIGHEST (6-pass bf16) f32 dots — exact selection.
+          Measured round 4 (interleaved A/B on chip, depth 8, C=256, T=1024)
+          for the NOISY kernel: the 3-term split below is only ~3.5% faster
+          there (perm matmuls are ~12% of the noisy kernel's time — it is
+          NOT MXU-pass bound, see docs/performance.md), so the noisy path
+          keeps this proven form. Mosaic rejects Precision.HIGH
+          ("Unsupported dot precision") and lowers no optimization_barrier.
+        - True: 3-term bf16 split of psi (hi/mid/lo bf16 planes, three
+          single-pass dots, f32 accumulate) — BIT-EXACT vs the 6-pass form
+          (the one-hot is 0/1, exactly representable in bf16; each dot
+          selects one split term and the three-term sum reconstructs the f32
+          value exactly). Halves the MXU passes: in the NOISELESS kernel the
+          perm matmuls dominate (the 128 redundant lanes make the per-slot
+          gate work tiny), so the ideal path uses this form.
+        """
         h_row = h_ref[0, l].reshape(1, d)                 # (1, d)
-        onehot_t = (iota_col == h_row).astype(f32)        # [y, x] = (y==h[x])
         dn = (((0,), (0,)), ((), ()))
+        if perm_split3:
+            onehot_t = (iota_col == h_row).astype(jnp.bfloat16)
+
+            def sel(x):
+                x1 = x.astype(jnp.bfloat16)
+                r1 = x - x1.astype(f32)
+                x2 = r1.astype(jnp.bfloat16)
+                r2 = r1 - x2.astype(f32)
+                x3 = r2.astype(jnp.bfloat16)
+                out = None
+                for term in (x1, x2, x3):
+                    # explicit DEFAULT precision: the ambient "highest"
+                    # config would stamp fp32 contract precision on a bf16
+                    # dot, which Mosaic rejects ("Bad lhs type")
+                    dot = jax.lax.dot_general(
+                        onehot_t, term, dn,
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=f32)
+                    out = dot if out is None else out + dot
+                return out
+
+            return sel(pr), sel(pi)
+        onehot_t = (iota_col == h_row).astype(f32)        # [y, x] = (y==h[x])
         return (jax.lax.dot_general(onehot_t, pr, dn, precision=hi,
                                     preferred_element_type=f32),
                 jax.lax.dot_general(onehot_t, pi, dn, precision=hi,
@@ -301,7 +332,7 @@ def traj_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
 
 
 def _traj_pallas_call(hmaps, gates, uniforms, kr, m, *, depth, n_kraus, lb,
-                      noiseless, interpret):
+                      noiseless, interpret, perm_split3=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -311,7 +342,7 @@ def _traj_pallas_call(hmaps, gates, uniforms, kr, m, *, depth, n_kraus, lb,
     slots = depth // 2
     grid = (c, t // lb)
     kern = functools.partial(_kernel, depth=depth, n_kraus=n_kraus, lb=lb,
-                             noiseless=noiseless)
+                             noiseless=noiseless, perm_split3=perm_split3)
     try:
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
@@ -352,19 +383,28 @@ def _traj_pallas_call(hmaps, gates, uniforms, kr, m, *, depth, n_kraus, lb,
     )(hmaps, gates, uniforms, kr, m)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "interpret"))
+@functools.partial(jax.jit, static_argnames=("depth", "interpret",
+                                             "perm_split3"))
 def ideal_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
-                       depth: int, interpret: bool = False) -> jnp.ndarray:
+                       depth: int, interpret: bool = False,
+                       perm_split3: bool = True) -> jnp.ndarray:
     """Ideal (noiseless) output probabilities via the fused kernel.
 
-    Replaces the unfused XLA statevector simulation for the heavy-set
-    computation in the noisy-QV trajectory path (the XLA path reads/writes
-    the whole (C, 2^d) state from HBM at every gate and lowers the
-    basis-permutation gathers poorly). Runs one minimum-width (128-lane)
+    Replaces the unfused XLA statevector simulation both for the heavy-set
+    computation in the noisy-QV trajectory path and for the ideal QV path
+    itself (the XLA path reads/writes the whole (C, 2^d) state from HBM at
+    every gate and lowers the basis-permutation gathers poorly; measured
+    round 5 on v5e at depth 8, C=1600: 10.4k vs 4.5k circuits/s end-to-end
+    through ``sample_heavy_outputs_batched``, max prob diff 1.3e-7). Runs
+    one minimum-width (128-lane)
     noiseless block per circuit — lanes are redundant (every lane evolves
     the same ideal circuit; permutation maps are per-circuit data so they
     cannot be batched into lanes) but the whole evolution is one
-    VMEM-resident kernel instance.
+    VMEM-resident kernel instance. ``perm_split3=True`` (default) applies
+    the boundary permutations as three single-pass bf16 dots (bit-exact —
+    see ``_kernel.permute``; measured ~10% faster on chip: with the tiny
+    per-slot gate work the noiseless kernel is the one place the perm
+    matmul passes show up).
 
     :param perms: (C, depth, depth) int permutations.
     :param gates_ri: (2, C, depth, depth//2, 4, 4) f32 Haar-gate planes.
@@ -381,7 +421,7 @@ def ideal_probs_pallas(perms: jnp.ndarray, gates_ri: jnp.ndarray,
     kr = jnp.stack([eye, jnp.zeros_like(eye)])              # K=1 identity
     out = _traj_pallas_call(hmaps, gates, uniforms, kr, kr, depth=depth,
                             n_kraus=1, lb=_LB, noiseless=True,
-                            interpret=interpret)
+                            interpret=interpret, perm_split3=perm_split3)
     return out[:, :, 0]
 
 

@@ -234,6 +234,30 @@ def sample_rand_circuits_for_heavy_out(qc, qubits: Sequence[int], depth: int,
 
 # ----------------------- batched TPU-native fast path ------------------------
 
+def _pallas_qv_routing(depth: int, has_kraus: bool, noisy_method: str,
+                       backend: str) -> Tuple[bool, bool]:
+    """(use_pallas_ideal, use_pallas_traj) kernel routing for the batched QV
+    sampler. The fused Pallas kernels need an accelerator backend and
+    depth >= 7 (``supports_pallas_traj``); the trajectory kernel additionally
+    needs a Kraus stack and a trajectory-capable ``noisy_method``. The ideal
+    probabilities (heavy sets, and the whole ideal path when ``not
+    has_kraus``) ride the fused noiseless kernel whenever it is available —
+    with kraus at densities' depths (``noisy_method='auto'``, depth <= 6)
+    the density kernel computes its own exact probabilities, so the ideal
+    kernel is only engaged alongside the trajectory kernel there.
+    """
+    from forest_benchmarking_tpu.ops.pallas_traj import supports_pallas_traj
+
+    on_accel = backend not in ("cpu",)
+    fused_ok = supports_pallas_traj(depth) and on_accel
+    use_pallas_traj = (has_kraus
+                       and noisy_method in ("trajectory", "auto")
+                       and (noisy_method == "trajectory" or depth > 6)
+                       and fused_ok)
+    use_pallas_ideal = use_pallas_traj or (not has_kraus and fused_ok)
+    return use_pallas_ideal, use_pallas_traj
+
+
 def _bit_permute_indices(perm: jnp.ndarray, depth: int) -> jnp.ndarray:
     """Gather indices so new position i holds old qubit perm[i] (MSB first)."""
     x = jnp.arange(2 ** depth)
@@ -487,7 +511,11 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
     path: shots
     are drawn from the exact output distribution, so the heavy-output
     probability estimate converges to the ideal (0.85-ish asymptote
-    (1+ln2)/2) at large depth.
+    (1+ln2)/2) at large depth. On TPU at depth >= 7 the ideal simulation
+    runs through the fused Pallas noiseless kernel
+    (:func:`~forest_benchmarking_tpu.ops.pallas_traj.ideal_probs_pallas`,
+    whole evolution VMEM-resident) instead of the unfused XLA statevector
+    sim — same distribution (tested to 2e-6), several times the throughput.
 
     With ``kraus`` — a two-qubit Kraus stack applied after every Haar gate
     on its qubit pair, passed either complex (K, 4, 4) or as float real/imag
@@ -519,16 +547,16 @@ def sample_heavy_outputs_batched(key, depth: int, num_circuits: int,
                               dtype=dtype).astype(cdtype)
 
     from forest_benchmarking_tpu.ops.pallas_traj import (
-        supports_pallas_traj, traj_probs_pallas, ideal_probs_pallas)
-    use_pallas_traj = (kraus is not None
-                       and noisy_method in ("trajectory", "auto")
-                       and (noisy_method == "trajectory" or depth > 6)
-                       and supports_pallas_traj(depth)
-                       and jax.default_backend() not in ("cpu",))
-    if use_pallas_traj:
-        # heavy sets via the fused noiseless kernel (one 128-lane block per
-        # circuit, whole evolution VMEM-resident) — the unfused XLA
-        # statevector sim was ~40% of the depth-8 noisy wall clock
+        traj_probs_pallas, ideal_probs_pallas)
+    use_pallas_ideal, use_pallas_traj = _pallas_qv_routing(
+        depth, kraus is not None, noisy_method, jax.default_backend())
+    if use_pallas_ideal:
+        # fused noiseless kernel (one 128-lane block per circuit, whole
+        # evolution VMEM-resident). Two users: the heavy-set computation of
+        # the noisy trajectory path (the unfused XLA statevector sim was
+        # ~40% of the depth-8 noisy wall clock), and — since round 5 — the
+        # IDEAL path itself (kraus=None), which had been flat on the unfused
+        # XLA sim since round 1 while this kernel sat noisy-only.
         gates_ri = jnp.stack([jnp.real(gates), jnp.imag(gates)]).astype(
             jnp.float32)
         probs = ideal_probs_pallas(perms, gates_ri, depth).astype(dtype)

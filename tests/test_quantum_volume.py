@@ -421,3 +421,29 @@ def test_ideal_probs_pallas_matches_xla_sim_interpret():
                                         interpret=True))
     np.testing.assert_allclose(pal, xla, atol=2e-6)
     np.testing.assert_allclose(pal.sum(axis=1), 1.0, atol=1e-5)
+    # the 3-term bf16 split permute (the on-chip default, measured bit-exact
+    # on the TPU as well) reconstructs the 6-pass HIGHEST form exactly
+    pal6 = np.asarray(ideal_probs_pallas(perms, gates_ri, depth,
+                                         interpret=True, perm_split3=False))
+    np.testing.assert_array_equal(pal, pal6)
+
+
+def test_pallas_qv_routing():
+    """The ideal path (kraus=None) rides the fused noiseless kernel on
+    accelerator backends at fused-capable depths (round-5 wiring); the
+    trajectory kernel keeps its round-4 conditions; CPU and shallow depths
+    stay on XLA."""
+    from forest_benchmarking_tpu.quantum_volume import _pallas_qv_routing
+
+    # ideal path, fused-capable depth, accelerator -> ideal kernel only
+    assert _pallas_qv_routing(8, False, "auto", "tpu") == (True, False)
+    assert _pallas_qv_routing(7, False, "auto", "axon") == (True, False)
+    # ideal path on cpu or below depth 7 -> XLA
+    assert _pallas_qv_routing(8, False, "auto", "cpu") == (False, False)
+    assert _pallas_qv_routing(6, False, "auto", "tpu") == (False, False)
+    # noisy trajectory path -> both (heavy sets via the ideal kernel)
+    assert _pallas_qv_routing(8, True, "auto", "tpu") == (True, True)
+    assert _pallas_qv_routing(7, True, "trajectory", "tpu") == (True, True)
+    # noisy density path computes exact probabilities itself -> neither
+    assert _pallas_qv_routing(8, True, "density", "tpu") == (False, False)
+    assert _pallas_qv_routing(6, True, "auto", "tpu") == (False, False)
