@@ -38,6 +38,7 @@ import forest_benchmarking_tpu.distance_measures as dm
 from forest_benchmarking_tpu.circuits import Circuit
 from forest_benchmarking_tpu.paulis import (
     all_traceless_pauli_terms, pauli_term_to_matrix)
+from forest_benchmarking_tpu.utils import pauli_basis_matrices
 from forest_benchmarking_tpu.observable_estimation import (
     ExperimentResult, ExperimentSetting, ObservablesExperiment,
     TensorProductState, SIC0, SIC1, SIC2, SIC3, plusX, minusX, plusY, minusY,
@@ -263,6 +264,149 @@ _mle_kernel_jit = jax.jit(_mle_kernel, static_argnames=(
     "epsilon", "entropy_penalty", "beta", "tol", "maxiter", "warm_start"))
 
 
+def _mle_bloch_kernel(e: jnp.ndarray, epsilon: float, tol: float,
+                      maxiter: int, warm_start: bool) -> jnp.ndarray:
+    """Fused 1Q diluted-MLE in the Bloch representation, whole batch at once.
+
+    Mathematically identical to :func:`_mle_kernel` for ``obs_mats = [X, Y, Z]``
+    (coefficient-1 Paulis), ``entropy_penalty = beta = 0``: with
+    rho = (I + r.sigma)/2 the predicted expectations are the Bloch components
+    themselves, R = a I + b.sigma has real Pauli coefficients, and the dilution
+    update U rho U (U = I + eps(R - I), Hermitian with real coefficients u0, u)
+    reduces via the sigma product algebra to the *real* closed form
+
+        r' = [(u0^2 - |u|^2) r + 2 u (u0 + u.r)] / [(u0^2 + |u|^2) + 2 u0 (u.r)]
+
+    (the i u x c cross terms of the two sigma products cancel pairwise, and
+    u x (c x u) = c|u|^2 - u(u.c) holds in any orthogonal frame). The whole
+    iteration is therefore elementwise real arithmetic on a (B, 3) tensor —
+    one fused XLA loop body with no HBM round trips between the per-iteration
+    matrix ops of the generic kernel. Per-problem convergence uses the same
+    Frobenius criterion: ||drho||_F = |dr|/sqrt(2); converged problems freeze
+    (matching vmapped-while_loop select semantics bit-for-bit in exact
+    arithmetic).
+
+    Reference algorithm: /root/reference/forest/benchmarking/tomography.py:242-268.
+
+    :param e: (B, 3) measured expectations of X, Y, Z.
+    :return: (B, 3) Bloch vectors of the MLE estimates.
+    """
+    rdtype = e.dtype
+    feps = jnp.asarray(jnp.finfo(rdtype).eps, rdtype)
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, rdtype))
+    # unpack to three dense (B,) planes: a (B, 3) tensor tiles each (8, 128)
+    # f32 vreg with 3 valid lanes of 128 (measured 42x vreg waste on v5e);
+    # three (B,) planes keep every op full-width
+    ex, ey, ez = e[..., 0], e[..., 1], e[..., 2]
+    one = jnp.asarray(1.0, rdtype)
+    if warm_start:
+        # physical ("wizard") projection of the linear-inversion estimate: the
+        # 2x2 eigenvalues are (1 +/- |e|)/2, so waterfilling clips to the
+        # closest unit-ball point along e
+        scale = one / jnp.maximum(one, jnp.sqrt(ex * ex + ey * ey + ez * ez))
+        r0 = (ex * scale, ey * scale, ez * scale)
+    else:
+        r0 = (jnp.zeros_like(ex),) * 3
+
+    def coef(es, rs):
+        dp = 1 + rs
+        dm = 1 - rs
+        dp = jnp.where(jnp.abs(dp) < feps, feps, dp)
+        dm = jnp.where(jnp.abs(dm) < feps, feps, dm)
+        cp = (1 + es) / dp
+        cm = (1 - es) / dm
+        return cp + cm, (cp - cm) / 6
+
+    def body(carry):
+        rx, ry, rz, diff, it = carry
+        # R = (id_coef I + sum_s p_coef_s P_s)/S  with S = 3
+        sx, bx = coef(ex, rx)
+        sy, by = coef(ey, ry)
+        sz, bz = coef(ez, rz)
+        a = (sx + sy + sz) / 6
+        u0 = 1 + epsilon * (a - 1)
+        ux, uy, uz = epsilon * bx, epsilon * by, epsilon * bz
+        uu = ux * ux + uy * uy + uz * uz
+        ur = ux * rx + uy * ry + uz * rz
+        cr = u0 * u0 - uu
+        cu = 2 * (u0 + ur)
+        den = (u0 * u0 + uu) + 2 * u0 * ur
+        nx = (cr * rx + ux * cu) / den
+        ny = (cr * ry + uy * cu) / den
+        nz = (cr * rz + uz * cu) / den
+        dx, dy, dz = nx - rx, ny - ry, nz - rz
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz) / sqrt2
+        # the it < maxiter guard makes running extra (frozen) steps exact,
+        # so the early-exit check only needs to happen once per chunk
+        active = jnp.logical_and(diff >= tol, it < maxiter)
+        rx = jnp.where(active, nx, rx)
+        ry = jnp.where(active, ny, ry)
+        rz = jnp.where(active, nz, rz)
+        diff = jnp.where(active, d, diff)
+        return rx, ry, rz, diff, it + 1
+
+    # CHUNKED early exit: a while_loop whose body is an unrolled 8-step
+    # fori_loop. Measured on v5e at batch 262144 (docs/performance.md,
+    # round 5): plain while 965k solves/s with a 549 s (!) compile, plain
+    # fori 1.79M, this form 1.94M with a 4 s compile — and unlike plain
+    # fori it still exits early for converged batches at large maxiter.
+    # Per-problem freeze + the it guard make all three bit-identical.
+    chunk = 8
+
+    def cond(carry):
+        diff, it = carry[3], carry[4]
+        return jnp.logical_and(jnp.any(diff >= tol), it < maxiter)
+
+    def chunk_body(carry):
+        return lax.fori_loop(0, chunk, lambda i, c: body(c), carry,
+                             unroll=True)
+
+    init = r0 + (jnp.full(ex.shape, jnp.inf, rdtype), jnp.asarray(0))
+    rx, ry, rz, _, _ = lax.while_loop(cond, chunk_body, init)
+    return jnp.stack([rx, ry, rz], axis=-1)
+
+
+_mle_bloch_jit = jax.jit(_mle_bloch_kernel, static_argnames=(
+    "epsilon", "tol", "maxiter", "warm_start"))
+
+
+def bloch_to_density(r: jnp.ndarray, cdtype=None) -> jnp.ndarray:
+    """(..., 3) Bloch vectors -> (..., 2, 2) density matrices (I + r.sigma)/2."""
+    if cdtype is None:
+        cdtype = jnp.complex128 if r.dtype == jnp.float64 else jnp.complex64
+    x, y, z = r[..., 0], r[..., 1], r[..., 2]
+    row0 = jnp.stack([1 + z, x - 1j * y], axis=-1)
+    row1 = jnp.stack([x + 1j * y, 1 - z], axis=-1)
+    return (jnp.stack([row0, row1], axis=-2) / 2).astype(cdtype)
+
+
+def mle_bloch_flops_per_solve(maxiter: int) -> int:
+    """Real-arithmetic FLOPs per problem of :func:`_mle_bloch_kernel` at its
+    iteration cap (counting div as one op): ~57 per iteration + 11 warm-start."""
+    return 57 * maxiter + 11
+
+
+def _is_xyz_pauli_stack(obs_mats) -> bool:
+    """True when ``obs_mats`` is a *concrete host-comparable* (3, 2, 2) stack
+    equal to [X, Y, Z]. Tracers and accelerator-resident arrays return False
+    (complex device->host fetches are unavailable on some backends), falling
+    back to the generic kernel."""
+    if isinstance(obs_mats, jax.core.Tracer):
+        return False
+    if isinstance(obs_mats, jax.Array):
+        try:
+            if list(obs_mats.devices())[0].platform != "cpu":
+                return False
+        except Exception:  # pragma: no cover - exotic array types
+            return False
+    elif not isinstance(obs_mats, np.ndarray):
+        return False
+    if obs_mats.shape != (3, 2, 2):
+        return False
+    xyz = pauli_basis_matrices(1)[1:]
+    return bool(np.allclose(np.asarray(obs_mats), xyz, atol=1e-12))
+
+
 def iterative_mle_state_estimate(results: List[ExperimentResult], qubits: List[int],
                                  epsilon: float = 0.1, entropy_penalty: float = 0.0,
                                  beta: float = 0.0, tol: float = 1e-9,
@@ -283,6 +427,16 @@ def iterative_mle_state_estimate(results: List[ExperimentResult], qubits: List[i
 
 @functools.partial(jax.jit, static_argnames=("epsilon", "entropy_penalty", "beta",
                                              "tol", "maxiter", "warm_start"))
+def _mle_general_batched(obs_mats: jnp.ndarray, expectations: jnp.ndarray,
+                         num_meas: jnp.ndarray, epsilon: float,
+                         entropy_penalty: float, beta: float, tol: float,
+                         maxiter: int, warm_start: bool) -> jnp.ndarray:
+    return jax.vmap(
+        lambda e, n: _mle_kernel(obs_mats, e, n, epsilon, entropy_penalty,
+                                 beta, tol, maxiter,
+                                 warm_start=warm_start))(expectations, num_meas)
+
+
 def iterative_mle_state_estimate_batched(obs_mats: jnp.ndarray,
                                          expectations: jnp.ndarray,
                                          num_meas: jnp.ndarray,
@@ -290,8 +444,8 @@ def iterative_mle_state_estimate_batched(obs_mats: jnp.ndarray,
                                          entropy_penalty: float = 0.0,
                                          beta: float = 0.0, tol: float = 1e-9,
                                          maxiter: int = 10_000,
-                                         warm_start: bool = False) \
-        -> jnp.ndarray:
+                                         warm_start: bool = False,
+                                         method: str = "auto") -> jnp.ndarray:
     """Batched MLE: one XLA dispatch reconstructing a whole batch of problems.
 
     :param obs_mats: (S, d, d) shared stacked observables.
@@ -300,12 +454,35 @@ def iterative_mle_state_estimate_batched(obs_mats: jnp.ndarray,
     :param warm_start: start from the projected linear-inversion estimate
         (requires ``obs_mats`` to be the full traceless Pauli basis); same
         fixed point, far fewer iterations. See :func:`_mle_kernel`.
+    :param method: ``"auto"`` routes plain-DIMLE 1Q problems (``obs_mats`` a
+        concrete [X, Y, Z] stack, no MaxEnt/hedging) through the fused
+        Bloch-representation kernel — mathematically identical, one fused
+        elementwise loop over a (B, 3) real tensor instead of per-iteration
+        complex matrix ops (see :func:`_mle_bloch_kernel`). ``"bloch"``
+        forces it (raises when ineligible); ``"general"`` forces the
+        per-problem vmapped kernel.
     :return: (B, d, d) density-matrix estimates, each converged per-problem.
     """
-    return jax.vmap(
-        lambda e, n: _mle_kernel(obs_mats, e, n, epsilon, entropy_penalty,
-                                 beta, tol, maxiter,
-                                 warm_start=warm_start))(expectations, num_meas)
+    eligible = (entropy_penalty == 0.0 and beta == 0.0
+                and _is_xyz_pauli_stack(obs_mats))
+    if method == "bloch" and not eligible:
+        raise ValueError(
+            "method='bloch' requires obs_mats == [X, Y, Z] (concrete, "
+            "host-comparable) and entropy_penalty == beta == 0")
+    if method not in ("auto", "bloch", "general"):
+        raise ValueError(f"unknown method {method!r}")
+    if method != "general" and eligible:
+        e = jnp.real(expectations) if jnp.iscomplexobj(expectations) \
+            else jnp.asarray(expectations)
+        r = _mle_bloch_jit(e, epsilon=epsilon, tol=tol, maxiter=maxiter,
+                           warm_start=warm_start)
+        cdtype = jnp.result_type(np.asarray(obs_mats).dtype, r.dtype)
+        return bloch_to_density(r, cdtype=cdtype)
+    return _mle_general_batched(obs_mats, expectations, num_meas,
+                                epsilon=epsilon,
+                                entropy_penalty=entropy_penalty, beta=beta,
+                                tol=tol, maxiter=maxiter,
+                                warm_start=warm_start)
 
 
 def state_log_likelihood(state: jnp.ndarray, results: Iterator[ExperimentResult],

@@ -177,6 +177,73 @@ def test_do_tomography_state():
         project_state_matrix_to_physical(rho)))) > 0.95
 
 
+def _random_1q_shot_expectations(rng, batch, shots=2000):
+    from forest_benchmarking_tpu.utils import pauli_basis_matrices
+    obs = pauli_basis_matrices(1)[1:]
+    psi = rng.randn(batch, 2) + 1j * rng.randn(batch, 2)
+    psi /= np.linalg.norm(psi, axis=1, keepdims=True)
+    rho = psi[:, :, None] * psi[:, None, :].conj()
+    exact = np.real(np.einsum("sij,bji->bs", obs, rho))
+    e = 2 * rng.binomial(shots, (1 + exact) / 2) / shots - 1
+    return obs, e, np.full((batch,), 3.0 * shots)
+
+
+@pytest.mark.parametrize("warm_start,tol,maxiter", [
+    (False, 1e-9, 10_000), (True, 1e-9, 10_000), (True, 1e-7, 60)])
+def test_mle_bloch_kernel_matches_general(warm_start, tol, maxiter):
+    """The fused Bloch-representation 1Q DIMLE (method='bloch') is the same
+    algorithm as the generic complex-matrix kernel: f64 parity to 1e-12."""
+    rng = np.random.RandomState(11)
+    obs, e, nm = _random_1q_shot_expectations(rng, batch=64)
+    kw = dict(tol=tol, maxiter=maxiter, warm_start=warm_start)
+    general = np.asarray(iterative_mle_state_estimate_batched(
+        jnp.asarray(obs), jnp.asarray(e), jnp.asarray(nm),
+        method="general", **kw))
+    bloch = np.asarray(iterative_mle_state_estimate_batched(
+        obs, jnp.asarray(e), jnp.asarray(nm), method="bloch", **kw))
+    assert np.max(np.abs(general - bloch)) < 1e-12
+    # trace-1 Hermitian PSD-by-construction
+    assert np.allclose(np.trace(bloch, axis1=1, axis2=2).real, 1.0, atol=1e-12)
+
+
+def test_mle_bloch_matches_numpy_oracle():
+    """Bloch path vs the independent numpy re-derivation of diluted MLE."""
+    rng = np.random.RandomState(12)
+    obs, e, nm = _random_1q_shot_expectations(rng, batch=8)
+    ours = np.asarray(iterative_mle_state_estimate_batched(
+        obs, jnp.asarray(e), jnp.asarray(nm), tol=1e-9, method="bloch"))
+    for i in range(e.shape[0]):
+        oracle = np_mle_state(obs, e[i], epsilon=0.1, tol=1e-9)
+        assert np.max(np.abs(ours[i] - oracle)) < 1e-7
+
+
+def test_mle_bloch_routing():
+    """method='auto' routes XYZ-stack problems to the Bloch kernel; variants
+    and non-Pauli observables fall back; method='bloch' raises if ineligible."""
+    from forest_benchmarking_tpu.tomography import _is_xyz_pauli_stack
+    from forest_benchmarking_tpu.utils import pauli_basis_matrices
+    xyz = pauli_basis_matrices(1)[1:]
+    assert _is_xyz_pauli_stack(xyz)
+    assert _is_xyz_pauli_stack(jnp.asarray(xyz))  # concrete cpu jax array
+    assert not _is_xyz_pauli_stack(xyz[::-1])     # ZYX order
+    assert not _is_xyz_pauli_stack(pauli_basis_matrices(2)[1:4])
+    rng = np.random.RandomState(13)
+    obs, e, nm = _random_1q_shot_expectations(rng, batch=4)
+    with pytest.raises(ValueError):
+        iterative_mle_state_estimate_batched(
+            obs, jnp.asarray(e), jnp.asarray(nm), beta=0.5, method="bloch")
+    with pytest.raises(ValueError):
+        iterative_mle_state_estimate_batched(
+            obs[::-1], jnp.asarray(e), jnp.asarray(nm), method="bloch")
+    with pytest.raises(ValueError):
+        iterative_mle_state_estimate_batched(
+            obs, jnp.asarray(e), jnp.asarray(nm), method="nope")
+    # hedged variant still works under auto (falls back to general kernel)
+    hedged = np.asarray(iterative_mle_state_estimate_batched(
+        obs, jnp.asarray(e), jnp.asarray(nm), beta=0.5, maxiter=500))
+    assert np.allclose(np.trace(hedged, axis1=1, axis2=2).real, 1.0, atol=1e-8)
+
+
 def test_mle_warm_start_same_fixed_point():
     """warm_start=True (projected linear inversion init) reaches the same
     DIMLE fixed point as the I/d start, well below shot noise."""
