@@ -96,6 +96,63 @@ def _shifted_cosine_p(x, p):
 
 # ------------------------------- fitter -------------------------------------
 
+def _chol_solve_unrolled(a, b):
+    """Solve ``a x = b`` for a small static-P SPD matrix via fully unrolled
+    Cholesky (Python loops over P at trace time -> pure scalar arithmetic).
+
+    The damped normal-equations matrix (JtJ + lam I + jitter I) is SPD by
+    construction, so no pivoting is needed. Unlike ``jnp.linalg.solve`` (an LU
+    custom call that breaks XLA fusion and forces an HBM round trip per LM
+    iteration), this inlines into the surrounding loop body — the reason the
+    batched fitter runs at fused-elementwise speed rather than
+    dispatch-per-op speed.
+    """
+    p = a.shape[0]
+    tiny = jnp.finfo(a.dtype).tiny
+    l = [[None] * p for _ in range(p)]
+    for i in range(p):
+        s = a[i, i]
+        for k in range(i):
+            s = s - l[i][k] * l[i][k]
+        l[i][i] = jnp.sqrt(jnp.maximum(s, tiny))
+        for j in range(i + 1, p):
+            s = a[j, i]
+            for k in range(i):
+                s = s - l[j][k] * l[i][k]
+            l[j][i] = s / l[i][i]
+    y = [None] * p
+    for i in range(p):
+        s = b[i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    x = [None] * p
+    for i in reversed(range(p)):
+        s = y[i]
+        for k in range(i + 1, p):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x)
+
+
+def lm_flops_per_fit(n_points: int, n_params: int, num_iters: int,
+                     model_flops: int = 8) -> int:
+    """Approximate real-arithmetic FLOPs per curve of :func:`_lm_kernel`
+    (for roofline accounting in benches; counts mul/add/div/exp as one each).
+
+    Per iteration: model+Jacobian evaluation ``model_flops * N * (P + 1)``
+    (jacfwd pushes P forward tangents through the model), JtJ ``2 N P^2``,
+    gradient ``2 N P``, unrolled Cholesky solve ``~P^3/3 + 4 P^2``, trial cost
+    ``3 N``, and ~``12 P`` bookkeeping. Plus one extra Jacobian pass +
+    inverse for the final covariance.
+    """
+    n, p = n_points, n_params
+    per_iter = (model_flops * n * (p + 1) + 2 * n * p * p + 2 * n * p
+                + p ** 3 // 3 + 4 * p * p + 3 * n + 12 * p)
+    final = model_flops * n * (p + 1) + 2 * n * p * p + p ** 3
+    return per_iter * (num_iters + 1) + final
+
+
 @dataclass
 class Param:
     value: float
@@ -158,7 +215,9 @@ def _lm_kernel(model_p, x, y, w, p0, num_iters: int):
         jit_eps = jnp.finfo(p.dtype).eps ** 2 * (
             1.0 + jnp.max(jnp.abs(jnp.diag(jtj))))
         a = jtj + lam * eye + jit_eps * eye
-        delta = jnp.linalg.solve(a, -g)
+        # unrolled Cholesky: SPD by construction; inlines into the loop body
+        # (jnp.linalg.solve is an LU custom call that would fence fusion)
+        delta = _chol_solve_unrolled(a, -g)
         p_new = p + delta
         c_new = cost(p_new)
         # predicted reduction: 0.5 delta^T (lam delta - g)
@@ -183,8 +242,17 @@ def _lm_kernel(model_p, x, y, w, p0, num_iters: int):
 
 @functools.partial(jax.jit, static_argnames=("model_p", "num_iters"))
 def _lm_batched(model_p, x, y, w, p0, num_iters=100):
-    return jax.vmap(lambda xx, yy, ww, pp: _lm_kernel(model_p, xx, yy, ww, pp,
-                                                      num_iters))(x, y, w, p0)
+    # vmap over the batch as the TRAILING axis: the per-fit intermediates are
+    # tiny ((N, P) Jacobians, (P, P) normal equations), so a leading batch
+    # axis tiles TPU vregs at 3/128-lane occupancy; batch-minor layouts keep
+    # every elementwise op full-width. Inputs/outputs stay batch-leading.
+    kern = lambda xx, yy, ww, pp: _lm_kernel(model_p, xx, yy, ww, pp,  # noqa: E731
+                                             num_iters)
+    p, c, cov = jax.vmap(kern, in_axes=-1, out_axes=-1)(
+        jnp.moveaxis(x, 0, -1), jnp.moveaxis(y, 0, -1),
+        jnp.moveaxis(w, 0, -1), jnp.moveaxis(p0, 0, -1))
+    return jnp.moveaxis(p, -1, 0), jnp.moveaxis(c, -1, 0), \
+        jnp.moveaxis(cov, -1, 0)
 
 
 def fit_model_batched(model_p: Callable, x: np.ndarray, y: np.ndarray,
