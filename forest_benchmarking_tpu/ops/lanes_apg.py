@@ -512,8 +512,16 @@ PARITY_PHASES: Tuple[Tuple[int, int, int], ...] = (
 # (measured: one 500-shot dataset moved 7.3e-5 between maxiter 3000 and
 # 10000). The <1e-6 contract applies at >=750 shots/setting;
 # docs/performance.md has the full sweep.
+#
+# Round-5 margin bank: the tail is SPLIT into a 20x6 phase plus a 4x8
+# accurate finishing phase — same 24 tail outer iterations, +4% Dykstra
+# work (200 vs 196 iteration-equivalents), which buys the worst measured
+# dataset down from 8.42e-7 to 7.50e-7 (the round-4 margin-recovery scan,
+# confirmed on the pinned worst-case fixtures and a fresh 48-dataset f64
+# sweep; docs/performance.md). Lengthening the tail without splitting does
+# NOT move the floor (24->32 at 6 Dykstra: unchanged).
 PARITY_TUNED_2Q = dict(
-    phases=((10, 1, 1), (10, 2, 1), (24, 6, 1)),
+    phases=((10, 1, 1), (10, 2, 1), (20, 6, 1), (4, 8, 1)),
     init_iters=6, init_sweeps=3, final_iters=12, final_sweeps=1,
     mu=1.5 / 32)
 
