@@ -202,21 +202,33 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
         right = 2 ** (depth - j - 2)
         pr4 = pr.reshape(left, 4, right, lb)
         pi4 = pi.reshape(left, 4, right, lb)
-        # pair-reduced density rho[a,b] = sum_{l,r} psi_a conj(psi_b)
-        rho_r = []
-        rho_i = []
+        # pair-reduced density rho[a,b] = sum_{l,r} psi_a conj(psi_b).
+        # Hermiticity halves the expensive (d/4, LB)-plane products: the
+        # a > b entries reuse the a < b reductions BIT-EXACTLY (rr is a
+        # symmetric expression with identical elementwise/reduce order; ri
+        # negates, which is exact), and the diagonal imaginary parts are
+        # exactly zero (the old code computed sum(x - x))
+        zero_row = jnp.zeros((1, lb), f32)
+        rows_r = {}
+        rows_i = {}
         for a in range(4):
-            for b in range(4):
+            for b in range(a, 4):
                 rr = jnp.sum((pr4[:, a] * pr4[:, b]
                               + pi4[:, a] * pi4[:, b]).reshape(-1, lb),
                              axis=0, keepdims=True)
-                ri = jnp.sum((pi4[:, a] * pr4[:, b]
-                              - pr4[:, a] * pi4[:, b]).reshape(-1, lb),
-                             axis=0, keepdims=True)
-                rho_r.append(rr)
-                rho_i.append(ri)
-        rho_r = jnp.concatenate(rho_r, axis=0)            # (16, LB) [a*4+b]
-        rho_i = jnp.concatenate(rho_i, axis=0)
+                rows_r[(a, b)] = rows_r[(b, a)] = rr
+                if a == b:
+                    rows_i[(a, a)] = zero_row
+                else:
+                    ri = jnp.sum((pi4[:, a] * pr4[:, b]
+                                  - pr4[:, a] * pi4[:, b]).reshape(-1, lb),
+                                 axis=0, keepdims=True)
+                    rows_i[(a, b)] = ri
+                    rows_i[(b, a)] = -ri
+        rho_r = jnp.concatenate([rows_r[(a, b)] for a in range(4)
+                                 for b in range(4)], axis=0)  # (16, LB) [a*4+b]
+        rho_i = jnp.concatenate([rows_i[(a, b)] for a in range(4)
+                                 for b in range(4)], axis=0)
         # p_k = sum_ab M'_k[a,b] rho[b,a] with M'_k = U^dag K_k^dag K_k U
         # the PRE-gate branch weight (real by hermiticity); m_ref holds M'
         # TRANSPOSED (built host-side), so the contraction is direct
