@@ -12,6 +12,7 @@ this harness exercises all five BASELINE.json configs:
 
 All device entry points keep float-only jit surfaces (axon tunnel constraint).
 """
+import functools
 import json
 import sys
 import time
@@ -112,8 +113,7 @@ def config1_state_tomo(batch=262144, shots=2000):
     @jax.jit
     def quality(rho_est_ri, rho_ri):
         rho_true = join_complex(rho_ri)
-        ests = join_complex(
-            jnp.moveaxis(rho_est_ri, 1, 0))  # (2=lin/mle, 2=ri, B, 2, 2)
+        ests = join_complex(rho_est_ri)  # (2=lin/mle, B, 2, 2) complex
         f_lin = fidelity(rho_true, ests[0])
         f_mle = fidelity(rho_true, ests[1])
         return jnp.real(f_lin), jnp.real(f_mle)
@@ -192,7 +192,7 @@ def config4_dfe_distances(batch=1024, dnorm_batch=2048):
     # so the rows below time the distance kernels only — same solver-only
     # methodology as configs 1/2. The generation-inclusive figure is kept as
     # incl_generation for continuity with rounds <= 4.
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(1,))
     def gen(key, n):
         k1, k2 = jax.random.split(key)
         chois1 = rand_map_with_BCSZ_dist(k1, 4, 16, batch=(n,), dtype=DT)

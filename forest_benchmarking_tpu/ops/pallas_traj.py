@@ -259,10 +259,15 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
                                    preferred_element_type=f32)  # (16, LB)
         ks_i = jax.lax.dot_general(kr_i, sel, dnk, precision=hi,
                                    preferred_element_type=f32)
-        pr, pi = apply_4x4(pr, pi, j, ks_r, ks_i, scalar_coefs=False)
-        nrm2 = jnp.sum(pr * pr + pi * pi, axis=0, keepdims=True)
-        inv = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
-        return pr * inv, pi * inv
+        # NO per-slot renormalization: the branch weights are normalized
+        # (p / sum p), which is invariant to the state's norm, so the norm
+        # may decay by the sampled branch weight across the layer's slots
+        # and be restored ONCE per layer (layer_body) — the sampled-branch
+        # distribution and the final normalized probabilities are exactly
+        # the same math, and the norm cannot underflow f32 within a layer
+        # (>= (p_min/K)^(depth/2) ~ 1e-12 worst case vs 1e-38 min normal).
+        # Saves 3 of 4 norm-reduce+rescale passes over the (2^d, LB) planes.
+        return apply_4x4(pr, pi, j, ks_r, ks_i, scalar_coefs=False)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (d, lb), 0)
     psi_r = jnp.where(row == 0, 1.0, 0.0).astype(f32)   # |0...0>
@@ -279,6 +284,11 @@ def _kernel(h_ref, g_ref, u_ref, kr_ref, m_ref, out_ref, *, depth: int,
             else:
                 # gate fused into the channel (W_k = K_k U planes)
                 pr, pi = channel(pr, pi, j, l)
+        if not noiseless:
+            # one renormalization per LAYER (see channel's norm note)
+            nrm2 = jnp.sum(pr * pr + pi * pi, axis=0, keepdims=True)
+            inv = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
+            pr, pi = pr * inv, pi * inv
         return pr, pi
 
     psi_r, psi_i = jax.lax.fori_loop(0, depth, layer_body, (psi_r, psi_i))
@@ -443,23 +453,27 @@ def traj_flops_per_circuit(depth: int, n_kraus: int = 16,
     """Analytic FLOPs of one noisy-QV circuit in the trajectory kernel.
 
     Per trajectory, per layer: one basis-permutation one-hot matmul
-    (2 planes x 2 d^2), and per slot (depth//2 of them) either a 4x4 gate
-    application (~32d, ``noiseless``) or the fused gate-channel step
-    (pair-reduced density ~8d x 16/4, rotated-POVM branch-weight
-    contraction 4K*16, selection ~3K, sampled fused-operator
-    materialization 4K*16, ONE per-lane 4x4 W_k = K_k U application ~32d,
-    renormalization ~5d — the plain gate apply is folded into W_k, and the
-    host-side 4x4 compositions have no trajectory axis so they are not
-    counted per trajectory). Plus the final boundary permutation and the
-    output probability normalization (~4d).
+    (2 planes x 2 d^2), ONE renormalization (~7d; round-5 moved it out of
+    the per-slot channel — branch weights are norm-invariant), and per
+    slot (depth//2 of them) either a 4x4 gate application (~32d,
+    ``noiseless``) or the fused gate-channel step (hermitian-reuse
+    pair-reduced density ~16d [round 5: the a > b and diagonal-imaginary
+    passes reuse/skip — was ~32d], rotated-POVM branch-weight contraction
+    4K*16, selection ~3K, sampled fused-operator materialization 4K*16,
+    ONE per-lane 4x4 W_k = K_k U application ~32d — the plain gate apply
+    is folded into W_k, and the host-side 4x4 compositions have no
+    trajectory axis so they are not counted per trajectory). Plus the
+    final boundary permutation and the output probability normalization
+    (~4d).
     """
     d = float(2 ** depth)
     slots = depth // 2
     perm = 2 * 2 * d * d
     gate = 32 * d
     channel = (
-        (8 * d / 4) * 16 + 4 * n_kraus * 16 + 3 * n_kraus
-        + 4 * n_kraus * 16 + 32 * d + 5 * d)
+        16 * d + 4 * n_kraus * 16 + 3 * n_kraus
+        + 4 * n_kraus * 16 + 32 * d)
     per_slot = gate if noiseless else channel
-    per_layer = perm + slots * per_slot
+    renorm = 0 if noiseless else 7 * d
+    per_layer = perm + slots * per_slot + renorm
     return num_trajectories * (depth * per_layer + perm + 4 * d)
