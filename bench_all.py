@@ -36,7 +36,7 @@ from forest_benchmarking_tpu.tomography import (
 from forest_benchmarking_tpu.analysis.fitting import (
     fit_model_batched, _base_param_decay_p, lm_flops_per_fit)
 from forest_benchmarking_tpu.distance_measures import (
-    fidelity, trace_distance, process_fidelity, diamond_norm_distance)
+    trace_distance, process_fidelity, diamond_norm_distance)
 from forest_benchmarking_tpu.quantum_volume import sample_heavy_outputs_batched
 
 DT = jnp.float32
@@ -57,18 +57,24 @@ def timed(fn, *args, reps=3):
 def config1_state_tomo(batch=262144, shots=2000):
     """1Q state tomography: simulate Pauli shots -> linear inv + MLE, batched.
 
-    Data are pre-generated and the timed region is the two estimators only
-    (solver-only, matching configs 2/4); the fidelity quality metrics are
-    computed outside the timed region. The MLE routes through the fused
-    Bloch-representation DIMLE kernel (tomography._mle_bloch_kernel): the
-    whole 60-iteration diluted update is closed-form real arithmetic on a
-    (B, 3) tensor — one fused XLA loop, no per-iteration complex matrix ops.
+    Data are pre-generated and the timed region is the two estimators plus a
+    per-problem quality statistic — EXACTLY config 2's convention (bench.py's
+    timed fused solve returns the per-problem relative error array): the jit
+    returns the two (B,) fidelity-vs-truth arrays, reduced on host untimed.
+    Round 5 measured the previous shape of this row to be output-fetch-bound,
+    not solver-bound: the (2, 2, B, 2, 2) density-matrix fetch was 16.8 MB at
+    the tunnel's ~27 MB/s (~620 of 647 ms; the MLE kernel itself runs 1.9M
+    solves/s). The estimators are unchanged — for XYZ Pauli data the
+    linear-inversion Bloch vector is exactly r = e (the pinv reconstruction
+    is the identity on expectations), the MLE routes through the fused
+    Bloch-representation DIMLE kernel (tomography._mle_bloch_kernel:
+    the whole 60-iteration diluted update is closed-form real arithmetic on
+    Bloch planes), and fidelity against the pure true state is the closed
+    form F = <psi|rho|psi> = (1 + r_est . r_true)/2.
     """
     # keep as NUMPY: numpy constants embed in the program; eager complex device
     # arrays cannot be fetched for MLIR constants on the axon tunnel
     obs = pauli_basis_matrices(1)[1:].astype(np.complex64)
-    meas_mat_pinv = np.linalg.pinv(
-        np.conj(np.swapaxes(obs, -1, -2).reshape(3, 4)))
 
     @jax.jit
     def gen(key):
@@ -81,47 +87,36 @@ def config1_state_tomo(batch=262144, shots=2000):
         psi = g[..., 0] + 1j * g[..., 1]
         psi = psi / jnp.linalg.norm(psi, axis=-1, keepdims=True)
         rho_true = psi[:, :, None] * jnp.conj(psi[:, None, :])
-        exact = jnp.real(jnp.einsum("sij,bji->bs", obs, rho_true))
-        p_plus = (1 + exact) / 2
+        r_true = jnp.real(jnp.einsum("sij,bji->bs", obs, rho_true))
+        p_plus = (1 + r_true) / 2
         k = jax.random.binomial(kshots, shots, p_plus).astype(DT)
         e = 2 * k / shots - 1
-        return e, jnp.stack([jnp.real(rho_true), jnp.imag(rho_true)])
+        return e, r_true.astype(DT)
 
-    e, rho_ri = gen(jax.random.PRNGKey(0))
+    e, r_true = gen(jax.random.PRNGKey(0))
     e = jnp.asarray(np.asarray(e))
-    rho_ri = jnp.asarray(np.asarray(rho_ri))
+    r_true = jnp.asarray(np.asarray(r_true))
 
     @jax.jit
-    def step(e):
-        rho_vec = jnp.einsum("as,bs->ba", meas_mat_pinv, e.astype(obs.dtype))
-        rho_lin = jnp.swapaxes(rho_vec.reshape(batch, 2, 2), -1, -2) \
-            + jnp.eye(2, dtype=obs.dtype) / 2
+    def step(e, r_true):
+        # linear inversion in Bloch form: r_lin = e exactly for XYZ Paulis
+        r_lin = e
         # warm start + capped iterations: the diluted R-rho-R update stalls at
         # the f32 noise floor long before tol=1e-7 fires, so maxiter is the
         # effective stop. From the projected linear-inversion start every
         # element reaches the floor by ~20 iterations (f64 deviation vs the
         # fully converged estimate: 1.8e-5 at maxiter=60, 1000x below shot
         # noise); the cold start needs ~2000 for the batch max.
-        rho_mle = iterative_mle_state_estimate_batched(
+        r_mle = iterative_mle_state_estimate_batched(
             obs, e, jnp.full((batch,), float(3 * shots)), tol=1e-7,
-            maxiter=60, warm_start=True)
-        out = jnp.stack([rho_lin, rho_mle])
-        return jnp.stack([jnp.real(out), jnp.imag(out)])
+            maxiter=60, warm_start=True, representation="bloch")
+        # per-problem quality vs the pure true state (F = <psi|rho|psi>)
+        f_lin = (1 + jnp.sum(r_lin * r_true, axis=-1)) / 2
+        f_mle = (1 + jnp.sum(r_mle * r_true, axis=-1)) / 2
+        return f_lin, f_mle
 
-    rho_est_ri, dt = timed(step, e)
-
-    @jax.jit
-    def quality(rho_est_ri, rho_ri):
-        rho_true = join_complex(rho_ri)
-        ests = join_complex(rho_est_ri)  # (2=lin/mle, B, 2, 2) complex
-        f_lin = fidelity(rho_true, ests[0])
-        f_mle = fidelity(rho_true, ests[1])
-        return jnp.real(f_lin), jnp.real(f_mle)
-
-    f_lin, f_mle = jax.tree.map(np.asarray,
-                                quality(jnp.asarray(np.asarray(rho_est_ri)),
-                                        rho_ri))
-    flops = mle_bloch_flops_per_solve(60) + 2 * 3 * 8  # + lin-inv einsum
+    (f_lin, f_mle), dt = timed(step, e, r_true)
+    flops = mle_bloch_flops_per_solve(60) + 2 * 3 * 2  # + the two fidelities
     return {
         "metric": "1q_state_tomography_lininv_plus_mle_throughput",
         "value": round(batch / dt, 2), "unit": "solves/sec",

@@ -445,7 +445,9 @@ def iterative_mle_state_estimate_batched(obs_mats: jnp.ndarray,
                                          beta: float = 0.0, tol: float = 1e-9,
                                          maxiter: int = 10_000,
                                          warm_start: bool = False,
-                                         method: str = "auto") -> jnp.ndarray:
+                                         method: str = "auto",
+                                         representation: str = "density"
+                                         ) -> jnp.ndarray:
     """Batched MLE: one XLA dispatch reconstructing a whole batch of problems.
 
     :param obs_mats: (S, d, d) shared stacked observables.
@@ -461,7 +463,15 @@ def iterative_mle_state_estimate_batched(obs_mats: jnp.ndarray,
         complex matrix ops (see :func:`_mle_bloch_kernel`). ``"bloch"``
         forces it (raises when ineligible); ``"general"`` forces the
         per-problem vmapped kernel.
-    :return: (B, d, d) density-matrix estimates, each converged per-problem.
+    :param representation: ``"density"`` (default) returns (B, d, d) complex
+        density matrices; ``"bloch"`` returns the (B, 3) real Bloch vectors
+        instead (rho = (I + r.sigma)/2 — a complete, lossless 1Q
+        parameterization). Only available on the Bloch-kernel route; useful
+        on accelerator tunnels where fetching a batch of complex matrices
+        costs 5-6x the real planes (measured — see docs/performance.md
+        round 5) or cannot cross the device->host boundary at all.
+    :return: (B, d, d) density-matrix estimates (or (B, 3) Bloch vectors),
+        each converged per-problem.
     """
     eligible = (entropy_penalty == 0.0 and beta == 0.0
                 and _is_xyz_pauli_stack(obs_mats))
@@ -471,13 +481,21 @@ def iterative_mle_state_estimate_batched(obs_mats: jnp.ndarray,
             "host-comparable) and entropy_penalty == beta == 0")
     if method not in ("auto", "bloch", "general"):
         raise ValueError(f"unknown method {method!r}")
+    if representation not in ("density", "bloch"):
+        raise ValueError(f"unknown representation {representation!r}")
     if method != "general" and eligible:
         e = jnp.real(expectations) if jnp.iscomplexobj(expectations) \
             else jnp.asarray(expectations)
         r = _mle_bloch_jit(e, epsilon=epsilon, tol=tol, maxiter=maxiter,
                            warm_start=warm_start)
+        if representation == "bloch":
+            return r
         cdtype = jnp.result_type(np.asarray(obs_mats).dtype, r.dtype)
         return bloch_to_density(r, cdtype=cdtype)
+    if representation == "bloch":
+        raise ValueError("representation='bloch' requires the Bloch-kernel "
+                         "route (method != 'general' and obs_mats == "
+                         "[X, Y, Z] with entropy_penalty == beta == 0)")
     return _mle_general_batched(obs_mats, expectations, num_meas,
                                 epsilon=epsilon,
                                 entropy_penalty=entropy_penalty, beta=beta,

@@ -244,6 +244,29 @@ def test_mle_bloch_routing():
     assert np.allclose(np.trace(hedged, axis1=1, axis2=2).real, 1.0, atol=1e-8)
 
 
+def test_mle_bloch_representation():
+    """representation='bloch' returns the (B, 3) Bloch vectors of exactly the
+    density matrices the default representation returns; it raises on the
+    general-kernel route (where no Bloch form exists)."""
+    from forest_benchmarking_tpu.tomography import bloch_to_density
+    rng = np.random.RandomState(14)
+    obs, e, nm = _random_1q_shot_expectations(rng, batch=16)
+    kw = dict(tol=1e-7, maxiter=60, warm_start=True)
+    rho = np.asarray(iterative_mle_state_estimate_batched(
+        obs, jnp.asarray(e), jnp.asarray(nm), **kw))
+    r = iterative_mle_state_estimate_batched(
+        obs, jnp.asarray(e), jnp.asarray(nm), representation="bloch", **kw)
+    assert r.shape == (16, 3)
+    assert np.max(np.abs(np.asarray(bloch_to_density(r)) - rho)) < 1e-12
+    with pytest.raises(ValueError):
+        iterative_mle_state_estimate_batched(
+            obs, jnp.asarray(e), jnp.asarray(nm), method="general",
+            representation="bloch", **kw)
+    with pytest.raises(ValueError):
+        iterative_mle_state_estimate_batched(
+            obs, jnp.asarray(e), jnp.asarray(nm), representation="nope", **kw)
+
+
 def test_mle_warm_start_same_fixed_point():
     """warm_start=True (projected linear inversion init) reaches the same
     DIMLE fixed point as the I/d start, well below shot noise."""
