@@ -349,16 +349,19 @@ def main():
         ("config4", config4_dfe_distances),
         ("config5_ideal", config5_quantum_volume),
         ("config5_noisy_d4", config5_noisy_quantum_volume),
-        # QV-relevant depth: the trajectory kernel makes noisy depth 8 fast
-        # (400 circuits amortizes the dispatch; the kernel peaks there)
+        # QV-relevant depth: the trajectory kernel makes noisy depth 8 fast.
+        # Round-5 rescan (after the gate-fuse/hermiticity/per-layer-renorm
+        # speedups shrank per-circuit cost): fixed dispatch overhead is
+        # ~22 ms, so 400 circuits leaves 16% on the table — 2941/s at C=400,
+        # 3249/s at C=800, 3404/s at C=1600 (marginal asymptote ~3.57k/s).
         ("config5_noisy_d8", lambda: config5_noisy_quantum_volume(
-            depth=8, num_circuits=400, noisy_method="trajectory")),
+            depth=8, num_circuits=1600, noisy_method="trajectory")),
         # documented speed point: 500 trajectories x 2 shots each fills one
         # 512-lane block per circuit (T=1000 pads to 1024 = two blocks);
         # same expectation, slightly wider CI (see sample_heavy_outputs_
         # batched docstring on the shot-independence tradeoff)
         ("config5_noisy_d8_t500", lambda: config5_noisy_quantum_volume(
-            depth=8, num_circuits=400, noisy_method="trajectory",
+            depth=8, num_circuits=1600, noisy_method="trajectory",
             num_trajectories=500)),
     ]
     results = []
